@@ -1,0 +1,115 @@
+"""Configuration dataclasses — the reference's module-constant blocks made real.
+
+The reference configures itself through per-script UPPERCASE constants
+(reference ``LK_Final.py:21-54``, ``LK3_classification.py:20-33``,
+``LK1_masking.py:12-17``, ``LK2_road_line_detection.py:17-22``; full matrix in
+SURVEY.md §2.4).  Here every knob is an explicit frozen dataclass so configs
+are hashable (usable as static jit args) and the five reference pipelines
+become presets in :mod:`lk_tpu.models`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LKConfig:
+    """Pyramidal Lucas–Kanade parameters (reference ``LK_Final.py:94-96``)."""
+
+    win_size: Tuple[int, int] = (15, 15)  # (width, height), OpenCV order
+    max_level: int = 2                    # pyramid levels = max_level + 1
+    max_iters: int = 10                   # TERM_CRITERIA_COUNT
+    eps: float = 0.03                     # TERM_CRITERIA_EPS on |delta|
+    min_eig_threshold: float = 1e-4       # OpenCV minEigThreshold default
+
+    @property
+    def half_win(self) -> Tuple[float, float]:
+        return ((self.win_size[0] - 1) * 0.5, (self.win_size[1] - 1) * 0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Shi–Tomasi / goodFeaturesToTrack parameters (reference ``LK_Final.py:88-91``)."""
+
+    max_corners: int = 5          # int(TP_NUM/4) in the VP pipelines
+    quality_level: float = 0.3    # relative to max response
+    min_distance: float = 7.0     # greedy NMS radius
+    block_size: int = 7           # structure-tensor window
+    # Candidate pool size for the on-device greedy min-distance pass.  OpenCV
+    # considers every pixel that survives thresholding; a fixed top-K pool
+    # keeps shapes static.  K >> max_corners so the greedy pass converges to
+    # the same set in practice (tested vs the OpenCV oracle).
+    candidate_pool: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class ROIConfig:
+    """Road-trapezoid ROI fractions (reference ``LK_Final.py:437-446``)."""
+
+    outer_l: float = 0.2
+    outer_u: float = 0.65
+    outer_r: float = 0.8
+    outer_d: float = 0.8
+    inner_l: float = 0.47
+    inner_u: float = 0.65
+    inner_r: float = 0.52
+    inner_d: float = 0.65
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Full VP-pipeline configuration (SURVEY.md §2.4 hyper-parameter matrix).
+
+    Defaults reproduce the reference ``LK_Final.py`` constants
+    (``LK_Final.py:22-54``).  The compat flags at the bottom reproduce
+    behavioral quirks of specific reference scripts so trajectories can be
+    matched bit-for-bit where wanted (SURVEY.md §7 "faithful quirk set").
+    """
+
+    width: int = 860                  # WID: resize target width
+    tp_num: int = 20                  # max simultaneous tracking points
+    vp_ref_num: int = 15              # recent CPs per VP update
+    vp_update_rate: float = 0.5
+    fl_update_rate: float = 0.05      # EMA rate for average flow length
+    tp_update_rate: float = 0.3       # replenish when live < tp_num * this
+    tp_update_time: int = 10          # forced replenish period (frames)
+    min_ang_dif: float = 25.0         # degrees
+    max_cp_std: float = 1.0
+    min_fl_len: float = 1.5
+    cp_thold: float = 1.0 / 15.0
+    hide_vp_thold: int = 50
+    fl_upd_meth: str = "REP"          # "REP" | "EXT"
+    vp_ref: int = 300                 # VP-history window for VL regression
+
+    lk: LKConfig = LKConfig()
+    features: FeatureConfig = FeatureConfig()
+    roi: ROIConfig = ROIConfig()
+
+    # --- structural variants -------------------------------------------------
+    # Number of independent point groups: 2 in LK_Final/VP_det
+    # (reference LK_Final.py:481-492), 1 in LK3 (LK3_classification.py:342-347).
+    num_groups: int = 2
+
+    # --- compat quirks (SURVEY.md §2.3 / §7) ---------------------------------
+    # LK_Final.py:617-624 rebinds the loop variable `vp`, aliasing the new VP
+    # with the last accepted cross point; diffs against that slot are then 0.
+    vp_init_aliasing: bool = True
+    # LK_Final updates avg_len BEFORE the accept test (LK_Final.py:557-558);
+    # LK3 updates it AFTER (LK3_classification.py:411-417).
+    avg_len_update_before_test: bool = True
+    # VP_det additionally requires >= 5%*WID horizontal start separation of
+    # the two lines forming a CP (VP_detection_using_optical_flow.py:588-589).
+    cp_min_start_sep_frac: float = 0.0
+    # VP_det resets avg_len on VP hide (VP_det:644-648); LK_Final does not.
+    reset_avg_len_on_hide: bool = False
+    # LK_Final appends a VP row both on every update and once in the show
+    # block (LK_Final.py:612-614,637-638); LK3 appends only in the show block.
+    csv_rows_on_update: bool = True
+    # LK3 applies the contrast tone curve inside process_img (LK3:274).
+    contrast_enhance: bool = False
+
+    def derived_height(self, src_h: int, src_w: int) -> int:
+        """Frame height after aspect-preserving resize (LK_Final.py:426-428)."""
+        return int(self.width * (src_h / src_w))

@@ -1,0 +1,72 @@
+"""Gaussian smoothing & pyramids (replaces ``cv.GaussianBlur``/``cv.pyrDown``).
+
+The reference blurs with a 3x3 sigma-0 Gaussian (reference LK_Final.py:416),
+which OpenCV resolves to the separable [1,2,1]/4 kernel with BORDER_REFLECT_101
+(verified bit-exact vs cv2 5.0).  ``cv.calcOpticalFlowPyrLK`` builds its
+pyramid with pyrDown's [1,4,6,4,1]/16 kernel, REFLECT_101 border and even-pixel
+decimation to size ceil(n/2) (verified bit-exact).
+
+Implementation note (TPU): tiny separable stencils are written as shifted adds
+on a reflect-padded array — XLA fuses these into a handful of vector ops, and
+they vectorize across arbitrary leading batch dims for free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+def _reflect101_pad(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
+    """BORDER_REFLECT_101 padding (edge pixel not repeated): cba|abcd|cba."""
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (pad, pad)
+    return jnp.pad(x, pads, mode="reflect")
+
+
+def _sep_filter_axis(x: jnp.ndarray, taps: Sequence[float], axis: int) -> jnp.ndarray:
+    """Correlate along `axis` with a small symmetric kernel, REFLECT_101 border."""
+    k = len(taps)
+    pad = k // 2
+    xp = _reflect101_pad(x.astype(jnp.float32), pad, axis)
+    n = x.shape[axis]
+    out = None
+    for i, t in enumerate(taps):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + n)
+        term = xp[tuple(sl)] * jnp.float32(t)
+        out = term if out is None else out + term
+    return out
+
+
+def sep_filter2d(x: jnp.ndarray, taps: Sequence[float]) -> jnp.ndarray:
+    """Separable 2-D filter over the trailing (H, W) axes."""
+    y = _sep_filter_axis(x, taps, axis=-1)
+    return _sep_filter_axis(y, taps, axis=-2)
+
+
+_GAUSS3 = (0.25, 0.5, 0.25)
+_GAUSS5 = (1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16)
+
+
+def gaussian_blur3(img: jnp.ndarray) -> jnp.ndarray:
+    """3x3 sigma-0 Gaussian blur, float path (matches cv2 float32 bit-exact)."""
+    return sep_filter2d(img, _GAUSS3)
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """One pyramid level down: 5-tap Gaussian + even-pixel decimation.
+
+    Output spatial size is ceil(n/2) per axis, matching cv.pyrDown.
+    """
+    sm = sep_filter2d(img, _GAUSS5)
+    return sm[..., ::2, ::2]
+
+
+def gaussian_pyramid(img: jnp.ndarray, max_level: int) -> list[jnp.ndarray]:
+    """List of max_level+1 images, level 0 = input (cv.buildOpticalFlowPyramid)."""
+    levels = [img.astype(jnp.float32)]
+    for _ in range(max_level):
+        levels.append(pyr_down(levels[-1]))
+    return levels
