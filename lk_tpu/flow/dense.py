@@ -1,0 +1,176 @@
+"""Dense pyramidal Lucas–Kanade optical flow.
+
+The reference only ever tracks ~20 sparse points (reference LK_Final.py:26,
+531-532); the TPU rebuild's flagship kernel computes the same pyramidal LK
+solution *densely* — every pixel is a window center — because on TPU the
+dense formulation is pure stencil/elementwise work that the VPU eats, while
+per-point gathers would leave the chip idle.  The sparse tracker
+(flow/sparse.py) keeps exact per-point OpenCV semantics for the pipeline and
+as the accuracy oracle; this module is the throughput path (BASELINE.json
+north-star: dense pyramidal LK at 1080p).
+
+Window-coherent dense formulation
+---------------------------------
+Naive dense LK warps the next image by the per-pixel flow field and
+box-filters the residuals.  That decouples the window equations (each pixel's
+residual is evaluated at its *own* flow, not the window center's), and on
+aliased texture it converges to self-consistent noise (measured: median EPE
+2.6 px where OpenCV per-point gets 0.014).  We instead expand the per-point
+residual to first order in the within-window flow variation:
+
+    J(q + v_p) ~= J(q + v_q) + grad_J(q + v_q) . (v_p - v_q)
+
+which makes the exact per-point Gauss-Newton right-hand side box-summable:
+
+    b(p) = box[ gI * (D - gJw.v) ](p) + box[ gI gJw^T ](p) . v(p)
+
+with D = J(q+v_q) - I(q), gI = Scharr(prev), gJw ~= Scharr(J warped) (equal to
+the warped gradient to first order in the flow Jacobian).  Because each solve
+is exact to first order, a few outer warp+solve rounds per level replace
+OpenCV's 10 resampling iterations (cfg.outer_iters, default 3).
+
+TPU mapping
+-----------
+XLA's 2-D gather lowers to one-element DMAs (~23 ms/1080p frame, measured),
+so the warp is ops.warp.shift_select_warp: a gather-free two-pass
+shift-select with per-level displacement bounds (DenseLKConfig.max_disp).
+Everything else is stencil/elementwise work: 6 box sums + one 2x2 solve per
+outer round, fixed shapes, per-pixel masked convergence.
+
+Measured accuracy equals OpenCV per-point tracking (mean EPE 0.017 px vs its
+0.0167 on a 9-px synthetic shift; tests/test_flow_dense.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.config import DenseLKConfig, LKConfig
+from lk_tpu.ops.blur import pyr_down
+from lk_tpu.ops.boxfilter import box_sum
+from lk_tpu.ops.gradients import scharr_derivatives
+from lk_tpu.ops.warp import shift_select_warp
+from lk_tpu.ops.resize import resize_linear
+
+# OpenCV's fixed-point A-matrix is ours/1024 (see flow/sparse.py); its default
+# minEigThreshold of 1e-4 maps to this on the normalized-gradient scale.
+_MIN_EIG_SCALE = 1024.0
+
+
+class DenseFlowResult(NamedTuple):
+    flow: jnp.ndarray      # (H, W, 2) float32, (dx, dy)
+    min_eig: jnp.ndarray   # (H, W) float32, per-pixel min eigenvalue / area
+    valid: jnp.ndarray     # (H, W) bool — structure tensor was solvable
+
+
+def dense_lk_level(
+    prev: jnp.ndarray,
+    next_: jnp.ndarray,
+    flow_init: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    dense_cfg: DenseLKConfig = DenseLKConfig(),
+    max_disp: int | None = None,
+) -> DenseFlowResult:
+    """One pyramid level of window-coherent dense LK refinement."""
+    win = cfg.win_size
+    win_w, win_h = win
+    area = jnp.float32(win_w * win_h)
+    prev = prev.astype(jnp.float32)
+    next_ = next_.astype(jnp.float32)
+    r_disp = dense_cfg.max_disp if max_disp is None else max_disp
+
+    ix, iy = scharr_derivatives(prev)
+    a11 = box_sum(ix * ix, win)
+    a12 = box_sum(ix * iy, win)
+    a22 = box_sum(iy * iy, win)
+    det = a11 * a22 - a12 * a12
+    min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * area
+    )
+    valid = (min_eig >= cfg.min_eig_threshold * _MIN_EIG_SCALE) & (det > 1e-7)
+    inv_det = jnp.where(valid, 1.0 / det, 0.0)
+
+    h, w = prev.shape[-2:]
+    eps2 = jnp.float32(cfg.eps * cfg.eps)
+    bound = jnp.float32(r_disp)
+
+    def body(_, carry):
+        flow, active = carry
+        jw = shift_select_warp(next_, flow, (r_disp, r_disp))
+        # Warped gradient approximated by the gradient of the warped image
+        # (equal to first order in the flow Jacobian; avoids 2 extra warps).
+        jwx, jwy = scharr_derivatives(jw)
+        # Residual with the first-order window-coherence correction folded in:
+        # r = D - gJw . v  (elementwise), then b = box(gI*r) + M . v(p).
+        r = jw - prev - (jwx * flow[..., 0] + jwy * flow[..., 1])
+        b1 = box_sum(ix * r, win)
+        b2 = box_sum(iy * r, win)
+        m11 = box_sum(ix * jwx, win)
+        m12 = box_sum(ix * jwy, win)
+        m21 = box_sum(iy * jwx, win)
+        m22 = box_sum(iy * jwy, win)
+        b1 = b1 + m11 * flow[..., 0] + m12 * flow[..., 1]
+        b2 = b2 + m21 * flow[..., 0] + m22 * flow[..., 1]
+        du = (a12 * b2 - a22 * b1) * inv_det
+        dv = (a12 * b1 - a11 * b2) * inv_det
+        upd = active & valid
+        flow = jnp.where(
+            upd[..., None], flow + jnp.stack([du, dv], axis=-1), flow
+        )
+        flow = jnp.clip(flow, -bound, bound)
+        active = active & (du * du + dv * dv > eps2)
+        return flow, active
+
+    active0 = jnp.ones((h, w), dtype=jnp.bool_)
+    flow, _ = jax.lax.fori_loop(
+        0,
+        dense_cfg.outer_iters,
+        body,
+        (flow_init.astype(jnp.float32), active0),
+    )
+    return DenseFlowResult(flow=flow, min_eig=min_eig, valid=valid)
+
+
+def _upsample_flow(flow: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    up = resize_linear(jnp.moveaxis(flow, -1, 0), dst_h, dst_w)
+    return jnp.moveaxis(up, 0, -1) * 2.0
+
+
+def dense_pyramidal_lk(
+    prev: jnp.ndarray,
+    next_: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    init_flow: Optional[jnp.ndarray] = None,
+    dense_cfg: DenseLKConfig = DenseLKConfig(),
+) -> DenseFlowResult:
+    """Coarse-to-fine dense LK over cfg.max_level+1 pyramid levels.
+
+    prev/next: (H, W) float32 grayscale in 0..255.  Returns level-0 flow.
+    """
+    prev_levels = [prev.astype(jnp.float32)]
+    next_levels = [next_.astype(jnp.float32)]
+    for _ in range(cfg.max_level):
+        prev_levels.append(pyr_down(prev_levels[-1]))
+        next_levels.append(pyr_down(next_levels[-1]))
+
+    top = cfg.max_level
+    h_top, w_top = prev_levels[top].shape[-2:]
+    if init_flow is None:
+        flow = jnp.zeros((h_top, w_top, 2), jnp.float32)
+    else:
+        flow = init_flow.astype(jnp.float32)
+
+    result = None
+    for level in range(top, -1, -1):
+        if level != top:
+            h, w = prev_levels[level].shape[-2:]
+            flow = _upsample_flow(flow, h, w)
+        result = dense_lk_level(
+            prev_levels[level], next_levels[level], flow, cfg, dense_cfg,
+            max_disp=dense_cfg.level_disp(level),
+        )
+        flow = result.flow
+    return result

@@ -1,0 +1,232 @@
+"""Sparse pyramidal Lucas–Kanade point tracker.
+
+The TPU-native replacement for ``cv.calcOpticalFlowPyrLK``
+(reference LK_Final.py:531-532; parameters at LK_Final.py:94-96), rebuilt as a
+fixed-shape batched tensor program: points live in capacity-N slot arrays with
+a validity mask; each point's refinement is a per-slot ``fori_loop`` with
+masked (converged/lost) updates; the slot axis is ``vmap``-ed, so the whole
+tracker is one fused XLA program with no data-dependent shapes.
+
+Semantics reproduced from OpenCV's pyramidal LK (float path):
+
+* pyramid: pyrDown 5-tap Gaussian, REFLECT_101, levels padded by the window
+  radius so border windows read reflected pixels;
+* spatial gradients: Scharr (smooth [3,10,3]/16, diff [-1,0,1]/2) of the
+  *previous* image, window-sampled once per level with the same bilinear
+  weights as the image window;
+* per level: structure tensor G from the prev window; gate on
+  min-eigenvalue/area < 1e-4 (OpenCV minEigThreshold, converted to our
+  normalized-gradient scale) or near-singular det;
+* iterate (<= max_iters): sample next window at the current guess, residual
+  b = sum(diff * [Ix, Iy]), step = solve(G, -b); stop when |step|^2 <= eps^2;
+  OpenCV's oscillation damping (half-step back when successive deltas cancel
+  to < 0.01) included;
+* status=0 when the window leaves the (padded) image at level 0, or the
+  structure tensor is degenerate at level 0;
+* err = mean |window diff| in intensity units at level 0 (OpenCV default).
+
+Validated against cv2: mean EPE < 0.1 px on synthetic and natural-image
+motion (tests/test_flow_sparse.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.config import LKConfig
+from lk_tpu.ops.blur import pyr_down
+from lk_tpu.ops.gradients import scharr_derivatives
+
+
+def build_tracking_pyramid(
+    img: jnp.ndarray, max_level: int, pad: int
+) -> List[jnp.ndarray]:
+    """Pyramid whose levels are REFLECT_101-padded by ``pad`` pixels.
+
+    Mirrors cv.buildOpticalFlowPyramid's winSize border padding so windows of
+    points near the border read reflected content instead of clamped pixels.
+    """
+    levels = [img.astype(jnp.float32)]
+    for _ in range(max_level):
+        levels.append(pyr_down(levels[-1]))
+    return [jnp.pad(lv, pad, mode="reflect") for lv in levels]
+
+
+def _sample_patch(img_padded, corner_y, corner_x, fy, fx, win_h, win_w):
+    """(win_h, win_w) bilinear patch given integer corner + fractional offset."""
+    raw = jax.lax.dynamic_slice(
+        img_padded, (corner_y, corner_x), (win_h + 1, win_w + 1)
+    )
+    a = raw[:-1, :-1]
+    b = raw[:-1, 1:]
+    c = raw[1:, :-1]
+    d = raw[1:, 1:]
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w01 = fx * (1.0 - fy)
+    w10 = (1.0 - fx) * fy
+    w11 = fx * fy
+    return a * w00 + b * w01 + c * w10 + d * w11
+
+
+def _track_one_level(
+    prev_pad, ix_pad, iy_pad, next_pad, prev_pt, next_pt, status, cfg: LKConfig,
+    pad: int, level: int, is_level0: bool,
+):
+    """One pyramid level of refinement for a single point. All scalars traced."""
+    win_w, win_h = cfg.win_size
+    half_x = (win_w - 1) * 0.5
+    half_y = (win_h - 1) * 0.5
+    h = prev_pad.shape[0] - 2 * pad
+    w = prev_pad.shape[1] - 2 * pad
+
+    # --- prev window (fixed for the level) ---------------------------------
+    px = prev_pt[0] - half_x
+    py = prev_pt[1] - half_y
+    ipx = jnp.floor(px)
+    ipy = jnp.floor(py)
+    fx = (px - ipx).astype(jnp.float32)
+    fy = (py - ipy).astype(jnp.float32)
+    # OpenCV 'inside' test: integer corner within [-win, size) of the image.
+    prev_inside = (
+        (ipx >= -win_w) & (ipx < w) & (ipy >= -win_h) & (ipy < h)
+    )
+    cx = jnp.clip(ipx.astype(jnp.int32) + pad, 0, prev_pad.shape[1] - win_w - 1)
+    cy = jnp.clip(ipy.astype(jnp.int32) + pad, 0, prev_pad.shape[0] - win_h - 1)
+
+    p_win = _sample_patch(prev_pad, cy, cx, fy, fx, win_h, win_w)
+    ix_win = _sample_patch(ix_pad, cy, cx, fy, fx, win_h, win_w)
+    iy_win = _sample_patch(iy_pad, cy, cx, fy, fx, win_h, win_w)
+
+    a11 = jnp.sum(ix_win * ix_win)
+    a12 = jnp.sum(ix_win * iy_win)
+    a22 = jnp.sum(iy_win * iy_win)
+    det = a11 * a22 - a12 * a12
+    min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * win_w * win_h
+    )
+    # OpenCV's fixed-point derivs are 32x our normalized float derivs with an
+    # extra FLT_SCALE=2^-20, so its A-matrix is ours/1024: its 1e-4 threshold
+    # corresponds to min_eig/1024 on our scale.
+    good_g = (min_eig >= cfg.min_eig_threshold * 1024.0) & (det > 1e-7)
+    inv_det = jnp.where(det > 1e-7, 1.0 / det, 0.0)
+
+    lost_here = (~prev_inside) & status
+    status = jnp.where(is_level0, status & prev_inside & good_g, status)
+    do_refine = prev_inside & good_g
+
+    # --- iterative refinement ---------------------------------------------
+    eps2 = jnp.float32(cfg.eps * cfg.eps)
+
+    def body(j, carry):
+        nxt, prev_delta, active, inside_ok = carry
+        qx = nxt[0] - half_x
+        qy = nxt[1] - half_y
+        iqx = jnp.floor(qx)
+        iqy = jnp.floor(qy)
+        gx = (qx - iqx).astype(jnp.float32)
+        gy = (qy - iqy).astype(jnp.float32)
+        next_inside = (iqx >= -win_w) & (iqx < w) & (iqy >= -win_h) & (iqy < h)
+        dx_c = jnp.clip(iqx.astype(jnp.int32) + pad, 0, next_pad.shape[1] - win_w - 1)
+        dy_c = jnp.clip(iqy.astype(jnp.int32) + pad, 0, next_pad.shape[0] - win_h - 1)
+        j_win = _sample_patch(next_pad, dy_c, dx_c, gy, gx, win_h, win_w)
+        diff = j_win - p_win
+        b1 = jnp.sum(diff * ix_win)
+        b2 = jnp.sum(diff * iy_win)
+        delta = jnp.stack(
+            [(a12 * b2 - a22 * b1) * inv_det, (a12 * b1 - a11 * b2) * inv_det]
+        )
+        step_ok = active & next_inside
+        new_nxt = jnp.where(step_ok, nxt + delta, nxt)
+        converged = jnp.sum(delta * delta) <= eps2
+        # OpenCV oscillation damping: successive deltas cancel -> back off half.
+        osc = (
+            (j > 0)
+            & (jnp.abs(delta[0] + prev_delta[0]) < 0.01)
+            & (jnp.abs(delta[1] + prev_delta[1]) < 0.01)
+        )
+        new_nxt = jnp.where(step_ok & osc, new_nxt - delta * 0.5, new_nxt)
+        still_active = active & next_inside & ~converged & ~osc
+        inside_ok = jnp.where(active, next_inside, inside_ok)
+        return new_nxt, delta, still_active, inside_ok
+
+    init = (
+        next_pt,
+        jnp.zeros(2, jnp.float32),
+        do_refine,
+        jnp.array(True),
+    )
+    next_pt, _, _, next_inside_final = jax.lax.fori_loop(
+        0, cfg.max_iters, body, init
+    )
+    status = jnp.where(
+        is_level0, status & (next_inside_final | ~do_refine), status
+    )
+    del lost_here
+    return next_pt, status, (p_win, a11, a12, a22)
+
+
+def _track_one(pyr_data, pt, valid, cfg: LKConfig, pad: int):
+    """Track a single point through all pyramid levels."""
+    win_w, win_h = cfg.win_size
+    max_level = cfg.max_level
+    status = valid
+    next_pt = pt / jnp.float32(2 ** max_level)
+    err = jnp.float32(0)
+    for level in range(max_level, -1, -1):
+        prev_pad, ix_pad, iy_pad, next_pad = pyr_data[level]
+        prev_pt = pt / jnp.float32(2 ** level)
+        if level != max_level:
+            next_pt = next_pt * 2.0
+        next_pt, status, aux = _track_one_level(
+            prev_pad, ix_pad, iy_pad, next_pad, prev_pt, next_pt, status, cfg,
+            pad, level, is_level0=(level == 0),
+        )
+        if level == 0:
+            # err: mean abs window diff at the final position (OpenCV default).
+            p_win = aux[0]
+            qx = next_pt[0] - (win_w - 1) * 0.5
+            qy = next_pt[1] - (win_h - 1) * 0.5
+            iqx = jnp.floor(qx)
+            iqy = jnp.floor(qy)
+            gx = (qx - iqx).astype(jnp.float32)
+            gy = (qy - iqy).astype(jnp.float32)
+            dx_c = jnp.clip(
+                iqx.astype(jnp.int32) + pad, 0, next_pad.shape[1] - win_w - 1
+            )
+            dy_c = jnp.clip(
+                iqy.astype(jnp.int32) + pad, 0, next_pad.shape[0] - win_h - 1
+            )
+            j_win = _sample_patch(next_pad, dy_c, dx_c, gy, gx, win_h, win_w)
+            err = jnp.mean(jnp.abs(j_win - p_win))
+    return next_pt, status, err
+
+
+def track_points(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Track ``pts`` (N, 2) float (x, y) from prev_img to next_img.
+
+    Returns (new_pts (N,2) f32, status (N,) bool, err (N,) f32).  ``valid``
+    masks inactive slots (their outputs are passthrough with status False).
+    Equivalent of cv.calcOpticalFlowPyrLK (reference LK_Final.py:531-532).
+    """
+    win_w, win_h = cfg.win_size
+    pad = max(win_w, win_h) + 2
+    prev_levels = build_tracking_pyramid(prev_img, cfg.max_level, pad)
+    next_levels = build_tracking_pyramid(next_img, cfg.max_level, pad)
+    pyr_data = []
+    for lv in range(cfg.max_level + 1):
+        ix, iy = scharr_derivatives(prev_levels[lv])
+        pyr_data.append((prev_levels[lv], ix, iy, next_levels[lv]))
+
+    fn = jax.vmap(lambda p, v: _track_one(pyr_data, p, v, cfg, pad))
+    new_pts, status, err = fn(pts.astype(jnp.float32), valid)
+    new_pts = jnp.where(valid[:, None], new_pts, pts)
+    return new_pts, status & valid, err

@@ -61,6 +61,53 @@ def warp_by_flow(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return bilinear_sample(img, xs + flow[..., 0], ys + flow[..., 1])
 
 
+def shift_select_warp(
+    img: jnp.ndarray,
+    flow: jnp.ndarray,
+    max_disp: Tuple[int, int],
+) -> jnp.ndarray:
+    """Bounded-displacement bilinear warp without gathers.
+
+    out(p) = img(p + clamp(flow(p))) where |flow_x| <= rx, |flow_y| <= ry
+    after clamping.  XLA's 2-D gather lowers to one-element DMAs on TPU
+    (~23 ms for a 1080p frame — measured); this version decomposes the warp
+    into a vertical then horizontal pass of sum_d select(idx==d) * shift(d)
+    terms — pure vectorized shifted multiply-adds, no gather.  Cost is
+    O(2*r+2) fused MACs per pixel per axis.
+
+    Displacements beyond the bound are clamped (the pyramid bounds per-level
+    residual flow; LK cannot track beyond ~half a window per level anyway).
+
+    img: (H, W); flow: (H, W, 2) (dx, dy); max_disp: (rx, ry) integers.
+    """
+    rx, ry = max_disp
+    h, w = img.shape[-2], img.shape[-1]
+    x = img.astype(jnp.float32)
+
+    def one_axis(src, disp, r, axis):
+        d_cl = jnp.clip(disp, -r, r)
+        d0 = jnp.floor(d_cl)
+        frac = (d_cl - d0).astype(jnp.float32)
+        d0 = d0.astype(jnp.int32)
+        pad_cfg = [(0, 0)] * src.ndim
+        pad_cfg[axis] = (r, r + 1)
+        padded = jnp.pad(src, pad_cfg, mode="edge")
+        n = src.shape[axis]
+        out = jnp.zeros_like(src)
+        for d in range(-r, r + 1):
+            sl = [slice(None)] * src.ndim
+            sl[axis] = slice(d + r, d + r + n)
+            shifted = padded[tuple(sl)]
+            sl[axis] = slice(d + r + 1, d + r + 1 + n)
+            shifted_p1 = padded[tuple(sl)]
+            sel = (d0 == d).astype(jnp.float32)
+            out = out + sel * (shifted + frac * (shifted_p1 - shifted))
+        return out
+
+    tmp = one_axis(x, flow[..., 1], ry, axis=-2)   # vertical first
+    return one_axis(tmp, flow[..., 0], rx, axis=-1)
+
+
 def extract_patch(
     img: jnp.ndarray, center: jnp.ndarray, win: Tuple[int, int]
 ) -> jnp.ndarray:

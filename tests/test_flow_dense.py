@@ -1,0 +1,94 @@
+"""Dense pyramidal LK vs ground truth and vs OpenCV per-point tracking."""
+
+import cv2 as cv
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.config import LKConfig
+from lk_tpu.flow.dense import dense_pyramidal_lk, dense_lk_level
+
+
+def _natural_image(rng, h, w):
+    img = rng.random((h, w)).astype(np.float32) * 255
+    img = cv.GaussianBlur(img, (0, 0), 2.0)
+    img += cv.GaussianBlur(rng.random((h, w)).astype(np.float32) * 255, (0, 0), 8.0)
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return img.astype(np.float32)
+
+
+def _shift_image(img, dx, dy):
+    m = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv.warpAffine(img, m, (img.shape[1], img.shape[0]),
+                         flags=cv.INTER_LINEAR, borderMode=cv.BORDER_REFLECT_101)
+
+
+class TestDenseLK:
+    def test_single_scale_small_shift(self, rng):
+        """BASELINE.json config #1: single-scale dense LK on a frame pair."""
+        img = _natural_image(rng, 480, 640)
+        nxt = _shift_image(img, 0.8, -0.6)
+        flow0 = jnp.zeros((480, 640, 2), jnp.float32)
+        res = jax.jit(dense_lk_level)(jnp.asarray(img), jnp.asarray(nxt), flow0)
+        flow = np.asarray(res.flow)
+        valid = np.asarray(res.valid)
+        interior = np.zeros_like(valid)
+        interior[20:-20, 20:-20] = True
+        m = valid & interior
+        # ground truth: (-dx, -dy)? no: flow maps prev->next sampling next at
+        # p+v matching prev at p, so v = -shift of content = (+0.8, -0.6)?
+        # content moved by (dx,dy): next(x) = prev(x - dx) => prev(p) = next(p + dx)
+        epe = np.linalg.norm(flow[m] - np.array([0.8, -0.6]), axis=1)
+        assert epe.mean() < 0.05, epe.mean()
+
+    def test_pyramidal_large_shift_epe_vs_gt(self, rng):
+        img = _natural_image(rng, 480, 640)
+        nxt = _shift_image(img, 9.0, 6.5)
+        res = jax.jit(lambda a, b: dense_pyramidal_lk(a, b, LKConfig()))(
+            jnp.asarray(img), jnp.asarray(nxt)
+        )
+        flow = np.asarray(res.flow)
+        valid = np.asarray(res.valid)
+        interior = np.zeros_like(valid)
+        interior[30:-30, 30:-30] = True
+        m = valid & interior
+        epe = np.linalg.norm(flow[m] - np.array([9.0, 6.5]), axis=1)
+        assert epe.mean() < 0.1, epe.mean()
+
+    def test_pyramidal_vs_opencv_sparse_grid(self, rng):
+        """EPE vs the reference implementation (BASELINE.json metric)."""
+        img = _natural_image(rng, 240, 320)
+        m = cv.getRotationMatrix2D((160, 120), 1.5, 1.02)
+        nxt = cv.warpAffine(img, m, (320, 240), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        res = jax.jit(lambda a, b: dense_pyramidal_lk(a, b, LKConfig()))(
+            jnp.asarray(img), jnp.asarray(nxt)
+        )
+        flow = np.asarray(res.flow)
+        valid = np.asarray(res.valid)
+
+        ys, xs = np.mgrid[30:210:12, 30:290:12]
+        pts = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+        p1, st, _ = cv.calcOpticalFlowPyrLK(
+            img.astype(np.uint8), nxt.astype(np.uint8),
+            pts.reshape(-1, 1, 2), None,
+            winSize=(15, 15), maxLevel=2,
+            criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03),
+        )
+        cv_flow = p1.reshape(-1, 2) - pts
+        st = st.reshape(-1).astype(bool)
+        ours = flow[pts[:, 1].astype(int), pts[:, 0].astype(int)]
+        ok = st & valid[pts[:, 1].astype(int), pts[:, 0].astype(int)]
+        epe = np.linalg.norm(ours[ok] - cv_flow[ok], axis=1)
+        assert ok.sum() > len(pts) * 0.8
+        assert epe.mean() < 0.1, epe.mean()
+
+    def test_batched_vmap(self, rng):
+        imgs = np.stack([_natural_image(rng, 96, 128) for _ in range(3)])
+        nxts = np.stack([_shift_image(im, 1.5, -1.0) for im in imgs])
+        fn = jax.jit(jax.vmap(lambda a, b: dense_pyramidal_lk(a, b, LKConfig()).flow))
+        flows = np.asarray(fn(jnp.asarray(imgs), jnp.asarray(nxts)))
+        assert flows.shape == (3, 96, 128, 2)
+        err = np.abs(flows[:, 20:-20, 20:-20] - np.array([1.5, -1.0])).mean()
+        assert err < 0.1, err

@@ -1,0 +1,129 @@
+"""Sparse LK tracker vs cv.calcOpticalFlowPyrLK (the kernel oracle, SURVEY.md §4)."""
+
+import cv2 as cv
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.config import LKConfig
+from lk_tpu.flow.sparse import track_points
+
+LK_PARAMS = dict(
+    winSize=(15, 15),
+    maxLevel=2,
+    criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03),
+)
+
+
+def _natural_image(rng, h, w):
+    """Smooth-ish random texture: blurred noise with structure at all scales."""
+    img = rng.random((h, w)).astype(np.float32) * 255
+    img = cv.GaussianBlur(img, (0, 0), 2.0)
+    img += cv.GaussianBlur(rng.random((h, w)).astype(np.float32) * 255, (0, 0), 8.0)
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return img.astype(np.float32)
+
+
+def _shift_image(img, dx, dy):
+    m = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv.warpAffine(
+        img, m, (img.shape[1], img.shape[0]), flags=cv.INTER_LINEAR,
+        borderMode=cv.BORDER_REFLECT_101,
+    )
+
+
+def _track_cv(prev, nxt, pts):
+    p0 = pts.reshape(-1, 1, 2).astype(np.float32)
+    p1, st, err = cv.calcOpticalFlowPyrLK(
+        prev.astype(np.uint8), nxt.astype(np.uint8), p0, None, **LK_PARAMS
+    )
+    return p1.reshape(-1, 2), st.reshape(-1).astype(bool), err.reshape(-1)
+
+
+def _track_ours(prev, nxt, pts):
+    # cv2 path above consumes uint8; feed our tracker the identical images.
+    prev8 = prev.astype(np.uint8).astype(np.float32)
+    nxt8 = nxt.astype(np.uint8).astype(np.float32)
+    valid = jnp.ones(len(pts), dtype=bool)
+    fn = jax.jit(lambda a, b, p, v: track_points(a, b, p, v, LKConfig()))
+    p1, st, err = fn(jnp.asarray(prev8), jnp.asarray(nxt8), jnp.asarray(pts), valid)
+    return np.asarray(p1), np.asarray(st), np.asarray(err)
+
+
+@pytest.fixture
+def scene(rng):
+    img = _natural_image(rng, 240, 320)
+    pts = np.stack(
+        np.meshgrid(np.linspace(40, 280, 7), np.linspace(40, 200, 5)), -1
+    ).reshape(-1, 2).astype(np.float32)
+    return img, pts
+
+
+class TestSparseVsOpenCV:
+    @pytest.mark.parametrize("shift", [(1.0, 0.5), (3.7, -2.2), (8.5, 5.25)])
+    def test_translation_epe(self, scene, shift):
+        img, pts = scene
+        nxt = _shift_image(img, *shift)
+        ours_p, ours_st, _ = _track_ours(img, nxt, pts)
+        cv_p, cv_st, _ = _track_cv(img, nxt, pts)
+        both = ours_st & cv_st
+        assert both.sum() >= len(pts) * 0.8
+        epe_vs_cv = np.linalg.norm(ours_p[both] - cv_p[both], axis=1)
+        assert epe_vs_cv.mean() < 0.1, epe_vs_cv.mean()
+        gt = pts[both] + np.array(shift)
+        epe_gt = np.linalg.norm(ours_p[both] - gt, axis=1)
+        assert epe_gt.mean() < 0.25, epe_gt.mean()
+
+    def test_rotation_zoom(self, scene, rng):
+        img, pts = scene
+        m = cv.getRotationMatrix2D((160, 120), 2.0, 1.03)
+        nxt = cv.warpAffine(img, m, (320, 240), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        ours_p, ours_st, _ = _track_ours(img, nxt, pts)
+        cv_p, cv_st, _ = _track_cv(img, nxt, pts)
+        both = ours_st & cv_st
+        assert both.sum() >= len(pts) * 0.7
+        epe = np.linalg.norm(ours_p[both] - cv_p[both], axis=1)
+        assert epe.mean() < 0.1, epe.mean()
+
+    def test_status_on_flat_region(self, rng):
+        img = np.full((120, 160), 128.0, np.float32)
+        img[20:40, 20:40] += 60  # one textured corner
+        nxt = _shift_image(img, 1.0, 1.0)
+        pts = np.array([[80.0, 80.0], [20.0, 20.0]], np.float32)  # flat, corner
+        ours_p, ours_st, _ = _track_ours(img, nxt, pts)
+        assert not ours_st[0]  # flat region: min-eig gate trips
+        assert ours_st[1]
+
+    def test_status_out_of_bounds(self, scene):
+        img, _ = scene
+        nxt = _shift_image(img, 2.0, 0.0)
+        pts = np.array([[1.0, 1.0], [160.0, 120.0]], np.float32)
+        ours_p, ours_st, _ = _track_ours(img, nxt, pts)
+        cv_p, cv_st, _ = _track_cv(img, nxt, pts)
+        # interior point agrees; the border point's status matches OpenCV
+        assert ours_st[1] and cv_st[1]
+        np.testing.assert_allclose(ours_p[1], cv_p[1], atol=0.1)
+
+    def test_invalid_slots_passthrough(self, scene):
+        img, pts = scene
+        nxt = _shift_image(img, 1.0, 1.0)
+        valid = np.zeros(len(pts), dtype=bool)
+        valid[:3] = True
+        p1, st, err = track_points(
+            jnp.asarray(img), jnp.asarray(nxt), jnp.asarray(pts),
+            jnp.asarray(valid), LKConfig(),
+        )
+        assert not np.asarray(st)[3:].any()
+        np.testing.assert_array_equal(np.asarray(p1)[3:], pts[3:])
+
+    def test_err_magnitude(self, scene):
+        img, pts = scene
+        nxt = _shift_image(img, 2.0, 1.0)
+        _, ours_st, ours_err = _track_ours(img, nxt, pts)
+        _, cv_st, cv_err = _track_cv(img, nxt, pts)
+        both = ours_st & cv_st
+        # err is mean-abs-window-diff in intensity units; same scale as OpenCV.
+        assert np.abs(ours_err[both] - cv_err[both]).mean() < 1.0
