@@ -56,11 +56,6 @@ class FeatureConfig:
     quality_level: float = 0.3    # relative to max response
     min_distance: float = 7.0     # greedy NMS radius
     block_size: int = 7           # structure-tensor window
-    # Candidate pool size for the on-device greedy min-distance pass.  OpenCV
-    # considers every pixel that survives thresholding; a fixed top-K pool
-    # keeps shapes static.  K >> max_corners so the greedy pass converges to
-    # the same set in practice (tested vs the OpenCV oracle).
-    candidate_pool: int = 256
 
 
 @dataclasses.dataclass(frozen=True)
