@@ -1,0 +1,129 @@
+"""Shared app plumbing: CLI args, stream setup, overlay rendering, sinks.
+
+The overlay reproduces the reference's drawing (tracks mask, VP dot, ROI
+polygon, FPS text — reference LK_Final.py:561-667) host-side with cv2; it is
+presentation only and sits outside the jitted pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from lk_tpu.config import PipelineConfig
+from lk_tpu.io.sink import save_segments_pickle, save_vp_csv
+from lk_tpu.io.video import SyntheticRoadStream, open_stream
+from lk_tpu.pipeline.runner import VideoPipeline
+from lk_tpu.utils import enable_compilation_cache
+
+
+def build_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("video", nargs="?", default=None,
+                   help="path to the input video (or use --synthetic)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the built-in synthetic driving scene")
+    p.add_argument("--frames", type=int, default=None,
+                   help="max frames to process")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames per device chunk")
+    p.add_argument("--out-dir", default="./vps", help="CSV output directory")
+    p.add_argument("--write-video", default=None,
+                   help="write annotated video to this path (MJPG avi)")
+    p.add_argument("--save-segments", default=None,
+                   help="pickle accepted flow-line segments to this path")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def video_name_of(args) -> str:
+    if args.synthetic or args.video is None:
+        return "synthetic"
+    base = os.path.basename(args.video.replace("\\", "/"))
+    return base.split(".")[0]
+
+
+def open_frames(args):
+    if args.synthetic or args.video is None:
+        n = args.frames or 120
+        return SyntheticRoadStream(width=1280, height=720, n_frames=n)
+    return open_stream(args.video)
+
+
+def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
+    enable_compilation_cache()
+    stream = open_frames(args)
+    pipe = VideoPipeline(cfg, src_size=(stream.width, stream.height),
+                         chunk=args.chunk)
+    writer = None
+    overlay = None
+    t0 = time.time()
+    buf = []
+    n_done = 0
+    frames_iter = iter(stream)
+    raw_frames = []
+    for f in frames_iter:
+        if args.frames is not None and n_done >= args.frames:
+            break
+        buf.append(f)
+        n_done += 1
+        if args.write_video:
+            raw_frames.append(f)
+        if len(buf) >= args.chunk + (1 if pipe.state is None else 0):
+            pipe.feed(np.stack(buf))
+            buf.clear()
+    if buf:
+        pipe.feed(np.stack(buf))
+    dt = time.time() - t0
+
+    name = video_name_of(args)
+    csv_path = save_vp_csv(pipe.csv_rows, name, args.out_dir)
+    if args.save_segments:
+        save_segments_pickle(pipe.segments, args.save_segments)
+    if args.write_video and raw_frames:
+        overlay_video(pipe, cfg, raw_frames, args.write_video)
+    if not args.quiet:
+        print("-" * 30)
+        print(f"frames: {pipe.frames_done}  wall: {dt:.1f}s "
+              f"({pipe.frames_done / max(dt, 1e-9):.1f} fps)")
+        print(f"total lines: {len(pipe.segments)}")
+        print(f"csv: {csv_path} ({len(pipe.csv_rows)} rows)")
+    return pipe
+
+
+def overlay_video(pipe: VideoPipeline, cfg: PipelineConfig, raw_frames,
+                  path: str, fps: int = 30) -> Optional[str]:
+    """Re-render annotated frames (ROI polygon + center/VP dots) and encode.
+
+    Presentation path only; mirrors LK_Final.py:432-434,652-666.
+    """
+    import cv2 as cv
+
+    from lk_tpu.ops.rasterize import roi_mask_points
+
+    w, h = pipe.width, pipe.height
+    pts = roi_mask_points(w, h, cfg.roi)
+    poly = pts[[1, 3, 5, 7]]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    out = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    draw_mask = np.zeros((h, w, 3), np.uint8)
+    rows = iter(pipe.csv_rows)
+    vp_xy = None
+    for f in raw_frames:
+        frame = cv.resize(f, (w, h), interpolation=cv.INTER_AREA)
+        frame = cv.polylines(frame, [poly], True, (0, 0, 100), 2)
+        frame = cv.circle(frame, (w // 2, h // 2), 6, (0, 0, 255), -1)
+        try:
+            vp_xy = next(rows)
+        except StopIteration:
+            pass
+        if vp_xy is not None and np.isfinite(vp_xy).all():
+            frame = cv.circle(frame, (int(vp_xy[0]), int(vp_xy[1])), 6,
+                              (0, 255, 100), -1)
+        out.write(cv.add(frame, draw_mask))
+    out.release()
+    return path

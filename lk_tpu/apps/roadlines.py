@@ -1,0 +1,131 @@
+"""lk.roadlines — road-line flow analytics (mirrors reference
+LK2_road_line_detection.py).
+
+Tracks 30 points inside the road trapezoid at width 960 with append-style
+replenishment, accumulates per-segment length/angle stats, and emits the
+post-run analytics plots (length-vs-index scatter and 100-bin histogram —
+the reference's distribution.png / frequency.png, LK2:274-294).
+
+Usage: python -m lk_tpu.apps.roadlines <video> [--synthetic]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.apps._common import build_parser, open_frames
+from lk_tpu.config import FeatureConfig
+from lk_tpu.geometry.flowlines import flow_line_stats
+from lk_tpu.models import ROADLINES
+from lk_tpu.ops.blur import gaussian_blur3
+from lk_tpu.ops.color import bgr_to_gray
+from lk_tpu.ops.rasterize import fill_convex_poly
+from lk_tpu.ops.resize import resize_area
+from lk_tpu.pipeline.tracker import make_tracker
+from lk_tpu.utils import enable_compilation_cache
+
+
+def main(argv=None):
+    parser = build_parser(__doc__)
+    parser.add_argument("--dist-png", default="./distribution.png")
+    parser.add_argument("--freq-png", default="./frequency.png")
+    args = parser.parse_args(argv)
+    enable_compilation_cache()
+
+    preset = ROADLINES
+    stream = open_frames(args)
+    w = preset["width"]
+    h = int(stream.height * w / stream.width)
+    quad = np.array(
+        [[int(fx * w), int(fy * h)] for fx, fy in preset["trapezoid"]],
+        np.int32,
+    )
+    mask = fill_convex_poly(h, w, quad)
+    n_points = preset["n_points"]
+    run_chunk, init = make_tracker(
+        mask,
+        lk=preset["lk"],
+        features=FeatureConfig(max_corners=n_points),
+        replenish_below=int(n_points * preset["replenish_below_frac"]),
+        policy="append",
+    )
+    run_jit = jax.jit(run_chunk)
+
+    @jax.jit
+    def pre(f):
+        return gaussian_blur3(resize_area(bgr_to_gray(f.astype(jnp.float32)),
+                                          h, w))
+
+    state = None
+    lengths, angles = [], []
+    buf = []
+    n = 0
+    for f in stream:
+        if args.frames is not None and n >= args.frames:
+            break
+        buf.append(f)
+        n += 1
+        if len(buf) >= args.chunk + (1 if state is None else 0):
+            state = _feed(run_jit, init, pre, state, buf, lengths, angles)
+            buf.clear()
+    if buf:
+        state = _feed(run_jit, init, pre, state, buf, lengths, angles)
+
+    if not args.quiet:
+        print(f"frames: {n}  segments: {len(lengths)}")
+    _plots(lengths, args.dist_png, args.freq_png)
+    if not args.quiet:
+        print(f"plots: {args.dist_png} {args.freq_png}")
+    return lengths, angles
+
+
+def _feed(run_jit, init, pre, state, buf, lengths, angles):
+    grays = jax.vmap(pre)(jnp.asarray(np.stack(buf)))
+    if state is None:
+        state = init(grays[0])
+        grays = grays[1:]
+        if grays.shape[0] == 0:
+            return state
+    state, outs = run_jit(state, grays)
+    old = np.asarray(outs.old_pts)
+    new = np.asarray(outs.new_pts)
+    m = np.asarray(outs.seg_mask)
+    for k in range(old.shape[0]):
+        if not m[k].any():
+            continue
+        st = flow_line_stats(jnp.asarray(old[k]), jnp.asarray(new[k]))
+        ln = np.asarray(st.length)[m[k]]
+        an = np.asarray(st.angle)[m[k]]
+        keep = ln > 0
+        lengths.extend(ln[keep].tolist())
+        angles.extend(an[keep].tolist())
+    return state
+
+
+def _plots(lengths, dist_png, freq_png):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(12, 8), dpi=80)
+    plt.title("Flow length distribution")
+    plt.xlabel("segment index (time order)")
+    plt.ylabel("length (px)")
+    plt.scatter(np.arange(len(lengths)), lengths, 4)
+    plt.savefig(dist_png)
+    plt.close()
+
+    plt.figure(figsize=(12, 8), dpi=80)
+    plt.title("Flow length frequency")
+    plt.xlabel("length (px)")
+    plt.ylabel("count")
+    plt.hist(lengths, bins=100)
+    plt.savefig(freq_png)
+    plt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Frame-chunk scanning and the host-facing video pipeline driver.
+
+The reference processes one frame per Python-loop iteration with ~10
+Python<->C++ crossings (SURVEY.md §3.1); here a chunk of T frames is one
+``lax.scan`` inside one jit — the host only feeds raw frame batches and
+drains per-chunk outputs.  Batching over independent streams is a leading
+vmap axis (SURVEY.md §2.5: streams are the natural data-parallel axis).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.config import PipelineConfig
+from lk_tpu.ops.rasterize import build_roi_masks
+from lk_tpu.pipeline.state import (
+    FrameOutputs,
+    PipelineState,
+    init_pipeline_state,
+)
+from lk_tpu.pipeline.step import make_step, preprocess_frame
+
+
+def make_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
+    """Returns (run_chunk, init_fn, masks) for processed-gray frame chunks.
+
+    run_chunk(state, frames (T, H, W)) -> (state, FrameOutputs stacked on T).
+    init_fn(first_gray) -> PipelineState with the initial detection applied
+    (reference LK_Final.py:481-492 detects on the first frame before looping).
+    """
+    width, height = frame_size
+    roi_mask, sub_masks = build_roi_masks(width, height, cfg.roi)
+    step, detect = make_step(cfg, frame_size, roi_mask, sub_masks)
+
+    def run_chunk(state: PipelineState, frames: jnp.ndarray):
+        return jax.lax.scan(step, state, frames)
+
+    def init_fn(first_gray: jnp.ndarray) -> PipelineState:
+        st = init_pipeline_state(first_gray, cfg)
+        pts, valid = detect(first_gray.astype(jnp.float32))
+        return st._replace(pts=pts, valid=valid)
+
+    return run_chunk, init_fn, (roi_mask, sub_masks)
+
+
+class VideoPipeline:
+    """Host driver: feeds frames, drains CSV rows — the ``Run()`` equivalent.
+
+    Mirrors the reference's observable outputs: ``csv_rows`` reproduces
+    vps_<video>.csv (row per VP update + row per shown frame,
+    LK_Final.py:612-614,637-638,722), ``segments`` collects accepted flow
+    lines (the line_segments.pkl content, LK_Final.py:375-377,559).
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        src_size: Tuple[int, int],          # (W, H) of raw frames
+        chunk: int = 8,
+    ):
+        self.cfg = cfg
+        self.src_w, self.src_h = src_size
+        self.height = cfg.derived_height(self.src_h, self.src_w)
+        self.width = cfg.width
+        self.chunk = chunk
+        self.run_chunk, self.init_fn, self.masks = make_chunk_runner(
+            cfg, (self.width, self.height)
+        )
+        self._run_jit = jax.jit(self.run_chunk)
+        self._pre_jit = jax.jit(
+            lambda f: preprocess_frame(f, cfg, self.height, self.width)
+        )
+        self.state: Optional[PipelineState] = None
+        self.csv_rows: List[Tuple[float, float]] = []
+        self.segments: List[dict] = []
+        self.frames_done = 0
+
+    def _ingest(self, frames_u8: np.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(frames_u8)
+        return jax.vmap(self._pre_jit)(x) if x.ndim == 4 else self._pre_jit(x)
+
+    def feed(self, frames_u8: np.ndarray) -> FrameOutputs:
+        """Process (T, Hs, Ws, 3) u8 BGR frames; returns stacked outputs."""
+        grays = self._ingest(frames_u8)
+        if self.state is None:
+            self.state = self.init_fn(grays[0])
+            grays = grays[1:]
+            if grays.shape[0] == 0:
+                return None
+        self.state, outs = self._run_jit(self.state, grays)
+        self._drain(outs)
+        return outs
+
+    def _drain(self, outs: FrameOutputs) -> None:
+        t = outs.show_mask.shape[0]
+        upd_rows = np.asarray(outs.update_rows)
+        upd_mask = np.asarray(outs.update_mask)
+        show_rows = np.asarray(outs.show_row)
+        show_mask = np.asarray(outs.show_mask)
+        seg_s = np.asarray(outs.line_start)
+        seg_e = np.asarray(outs.line_stop)
+        seg_m = np.asarray(outs.line_mask)
+        for k in range(t):
+            if self.cfg.csv_rows_on_update:
+                for r in upd_rows[k][upd_mask[k]]:
+                    self.csv_rows.append((float(r[0]), float(r[1])))
+            if show_mask[k]:
+                self.csv_rows.append(
+                    (float(show_rows[k][0]), float(show_rows[k][1]))
+                )
+            for a, b in zip(seg_s[k][seg_m[k]], seg_e[k][seg_m[k]]):
+                self.segments.append(
+                    dict(start=a.copy(), stop=b.copy())
+                )
+            self.frames_done += 1
+
+    def run(self, frames: Iterable[np.ndarray]) -> None:
+        """Consume an iterable of single (Hs, Ws, 3) u8 frames in chunks."""
+        buf: List[np.ndarray] = []
+        for f in frames:
+            buf.append(f)
+            if len(buf) == self.chunk + (1 if self.state is None else 0):
+                self.feed(np.stack(buf))
+                buf.clear()
+        if buf:
+            self.feed(np.stack(buf))

@@ -1,0 +1,148 @@
+"""End-to-end VP pipeline on a synthetic driving scene.
+
+The ground-truth vanishing point is known by construction; we also run a
+pure-OpenCV oracle pipeline (cv.goodFeaturesToTrack + cv.calcOpticalFlowPyrLK
+feeding the NumPy VP oracle) to bound divergence the way the reference would
+behave (SURVEY.md §4: corner-set differences make bitwise trajectory parity
+unachievable; we assert tolerance bands instead).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lk_tpu.config import PipelineConfig
+from lk_tpu.io.video import SyntheticRoadStream
+from lk_tpu.pipeline.runner import VideoPipeline
+
+from oracle_vp import OracleVP, oracle_line
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return SyntheticRoadStream(width=860, height=484, zoom=1.03, seed=3,
+                               n_frames=40)
+
+
+def test_pipeline_vp_converges(scene):
+    cfg = PipelineConfig()
+    pipe = VideoPipeline(cfg, src_size=(scene.width, scene.height), chunk=8)
+    pipe.run(iter(scene))
+    assert pipe.frames_done == scene.n_frames - 1
+    rows = np.array(pipe.csv_rows)
+    assert len(rows) > 10, "VP never initialized"
+    # ground truth VP (src == processed size here)
+    gt = np.array(scene.vp)
+    tail = rows[len(rows) // 2:]
+    err = np.linalg.norm(tail.mean(axis=0) - gt)
+    assert err < 25.0, (tail.mean(axis=0), gt)
+    # duplicate-row semantics: shown frames without updates repeat the value
+    dup = (np.diff(rows, axis=0) == 0).all(axis=1).mean()
+    assert dup > 0.05
+
+
+def test_pipeline_segments_collected(scene):
+    cfg = PipelineConfig()
+    pipe = VideoPipeline(cfg, src_size=(scene.width, scene.height), chunk=8)
+    pipe.run(iter(scene))
+    assert len(pipe.segments) > 50
+    seg = pipe.segments[0]
+    assert seg["start"].shape == (2,) and seg["stop"].shape == (2,)
+
+
+def test_pipeline_matches_cv_oracle_band(scene):
+    """Our trajectory and a full-OpenCV pipeline's trajectory agree on where
+    the VP is (band comparison, not bitwise)."""
+    import cv2 as cv
+
+    cfg = PipelineConfig()
+    pipe = VideoPipeline(cfg, src_size=(scene.width, scene.height), chunk=8)
+    pipe.run(iter(scene))
+    ours = np.array(pipe.csv_rows)
+
+    # --- OpenCV oracle pipeline -----------------------------------------
+    from lk_tpu.ops.rasterize import build_roi_masks, roi_mask_points
+
+    W = cfg.width
+    H = cfg.derived_height(scene.height, scene.width)
+    p = roi_mask_points(W, H, cfg.roi)
+    sub_quads = [p[[0, 8, 1, 2]], p[[0, 2, 3, 4]], p[[0, 4, 5, 6]],
+                 p[[0, 6, 7, 8]]]
+    sub_masks = []
+    full = np.zeros((H, W), np.uint8)
+    full = cv.fillPoly(full, [p[[1, 3, 5, 7]]], 255)
+    for q in sub_quads:
+        m = np.zeros((H, W), np.uint8)
+        sub_masks.append(cv.fillPoly(m, [q], 255))
+
+    def proc(f):
+        g = cv.cvtColor(f, cv.COLOR_BGR2GRAY)
+        g = cv.resize(g, (W, H), interpolation=cv.INTER_AREA)
+        return cv.GaussianBlur(g, (3, 3), 0)
+
+    fp = dict(maxCorners=5, qualityLevel=0.3, minDistance=7, blockSize=7)
+    lk = dict(winSize=(15, 15), maxLevel=2,
+              criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03))
+
+    frames = [proc(f) for f in scene]
+    oracle = OracleVP(cfg, W, H)
+    groups = []
+    for j in range(2):
+        pts = []
+        for i in range(2):
+            r = cv.goodFeaturesToTrack(frames[0], mask=sub_masks[j * 2 + i], **fp)
+            if r is not None:
+                pts.extend(r.reshape(-1, 2))
+        groups.append(np.array(pts, np.float32))
+    avg_len = [cfg.min_fl_len, cfg.min_fl_len]
+    tp_ult = 0
+    for t in range(1, len(frames)):
+        lines = []
+        for n in range(2):
+            if len(groups[n]) == 0:
+                continue
+            p1, st, _ = cv.calcOpticalFlowPyrLK(
+                frames[t - 1], frames[t],
+                groups[n].reshape(-1, 1, 2), None, **lk)
+            p1 = p1.reshape(-1, 2)
+            st = st.reshape(-1).astype(bool)
+            for k in range(len(st)):
+                if st[k]:
+                    x, y = int(np.floor(p1[k][0])), int(np.floor(p1[k][1]))
+                    if not (0 <= x < W and 0 <= y < H and full[y, x] > 0):
+                        st[k] = False
+            good_new, good_old = p1[st], groups[n][st]
+            groups[n] = good_new
+            for old, new in zip(good_old, good_new):
+                if (old == new).all():
+                    continue
+                ol = oracle_line(old, new)
+                if ol["angle"] > 180 and ol["length"] > cfg.min_fl_len:
+                    avg_len[n] = (avg_len[n] + ol["length"] * cfg.fl_update_rate) \
+                        / (1 + cfg.fl_update_rate)
+                    if ol["length"] > avg_len[n]:
+                        lines.append(ol)
+        oracle.process_frame(lines)
+        total = sum(len(g) for g in groups)
+        if total < cfg.tp_num * cfg.tp_update_rate or tp_ult == cfg.tp_update_time:
+            tp_ult = 0
+            new_groups = []
+            for j in range(2):
+                pts = []
+                for i in range(2):
+                    r = cv.goodFeaturesToTrack(
+                        frames[t], mask=sub_masks[j * 2 + i], **fp)
+                    if r is not None:
+                        pts.extend(r.reshape(-1, 2))
+                new_groups.append(np.array(pts, np.float32))
+            if len(new_groups[0]) and len(new_groups[1]):
+                groups = new_groups
+        tp_ult += 1
+
+    ref = np.array(oracle.csv_rows)
+    assert len(ref) > 10
+    # band comparison on the settled half of each trajectory
+    ours_tail = ours[len(ours) // 2:].mean(axis=0)
+    ref_tail = ref[len(ref) // 2:].mean(axis=0)
+    assert np.linalg.norm(ours_tail - ref_tail) < 20.0, (ours_tail, ref_tail)
