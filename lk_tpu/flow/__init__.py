@@ -4,4 +4,5 @@ from lk_tpu.flow.sparse import track_points, build_tracking_pyramid  # noqa: F40
 from lk_tpu.flow.dense import (  # noqa: F401
     dense_lk_level,
     dense_pyramidal_lk,
+    dense_pyramidal_lk_batched,
 )

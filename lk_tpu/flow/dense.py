@@ -124,7 +124,9 @@ def dense_lk_level(
         active = active & (du * du + dv * dv > eps2)
         return flow, active
 
-    active0 = jnp.ones((h, w), dtype=jnp.bool_)
+    # Derive from `valid` (not a fresh constant) so the carry stays
+    # axis-varying under shard_map row sharding (parallel/spatial.py).
+    active0 = valid | ~valid
     flow, _ = jax.lax.fori_loop(
         0,
         dense_cfg.outer_iters,
@@ -132,6 +134,46 @@ def dense_lk_level(
         (flow_init.astype(jnp.float32), active0),
     )
     return DenseFlowResult(flow=flow, min_eig=min_eig, valid=valid)
+
+
+def dense_pyramidal_lk_batched(
+    prev: jnp.ndarray,
+    next_: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    dense_cfg: DenseLKConfig = DenseLKConfig(),
+) -> jnp.ndarray:
+    """Batched dense flow via row-folding: (B, H, W) pairs -> (B, H, W, 2).
+
+    Batched 3-D stencils lower pathologically on the TPU backend (measured:
+    a (2,1080,1920) box_sum runs ~24x slower per frame than (1080,1920)), so
+    the batch is folded into the row axis with per-frame edge-replicated
+    guard bands large enough that no level's stencil (warp displacement +
+    window + gradient) crosses a frame seam; every op stays 2-D.
+
+    Border semantics inside the guard are edge-replication (the same rule
+    the warp uses); box sums near frame borders see replicated rows instead
+    of zero-padding — a border-only deviation from the unbatched path.
+    """
+    b, h, w = prev.shape
+    top = cfg.max_level
+    win_h = cfg.win_size[1]
+    need = max(
+        (dense_cfg.level_disp(lv) + win_h // 2 + 4) << lv
+        for lv in range(top + 1)
+    )
+    mult = 1 << top
+    g = -(-need // mult) * mult
+    while (h + 2 * g) % mult:
+        g += 1
+
+    def fold(x):
+        xp = jnp.pad(x, ((0, 0), (g, g), (0, 0)), mode="edge")
+        return xp.reshape(b * (h + 2 * g), w)
+
+    folded = dense_pyramidal_lk(fold(prev), fold(next_), cfg,
+                                dense_cfg=dense_cfg)
+    flow = folded.flow.reshape(b, h + 2 * g, w, 2)
+    return flow[:, g:-g]
 
 
 def _upsample_flow(flow: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:

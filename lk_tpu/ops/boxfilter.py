@@ -23,26 +23,30 @@ def box_sum(
     windows at the frame edge) or "reflect" (BORDER_REFLECT_101, matching
     OpenCV's boxFilter default — needed where border responses must match,
     e.g. the Shi–Tomasi response).
+
+    Implemented as two separable shifted-add passes (win_h + win_w adds per
+    pixel) rather than lax.reduce_window (win_h * win_w adds — XLA does not
+    separate box windows; the 15x15 window is the dense-LK hot loop's single
+    biggest cost when done naively).
     """
     win_w, win_h = win
-    pad_h = (win_h - 1) // 2, win_h // 2
-    pad_w = (win_w - 1) // 2, win_w // 2
+    pad_h = ((win_h - 1) // 2, win_h // 2)
+    pad_w = ((win_w - 1) // 2, win_w // 2)
     x = x.astype(jnp.float32)
-    if border == "reflect":
-        pads = [(0, 0)] * (x.ndim - 2) + [pad_h, pad_w]
-        x = jnp.pad(x, pads, mode="reflect")
-        padding = [(0, 0)] * x.ndim
-    elif border == "zero":
-        padding = [(0, 0)] * (x.ndim - 2) + [pad_h, pad_w]
-    else:
-        raise ValueError(f"unknown border mode {border!r}")
-    dims = [1] * (x.ndim - 2) + [win_h, win_w]
-    strides = [1] * x.ndim
-    return jax.lax.reduce_window(
-        x,
-        jnp.float32(0),
-        jax.lax.add,
-        window_dimensions=dims,
-        window_strides=strides,
-        padding=padding,
-    )
+    mode = {"zero": "constant", "reflect": "reflect"}[border]
+
+    def axis_sum(a: jnp.ndarray, k: int, pad, axis: int) -> jnp.ndarray:
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = pad
+        ap = jnp.pad(a, pads, mode=mode)
+        n = a.shape[axis]
+        out = None
+        for i in range(k):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i, i + n)
+            term = ap[tuple(sl)]
+            out = term if out is None else out + term
+        return out
+
+    y = axis_sum(x, win_h, pad_h, x.ndim - 2)
+    return axis_sum(y, win_w, pad_w, x.ndim - 1)
