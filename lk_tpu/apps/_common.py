@@ -36,6 +36,17 @@ def build_parser(desc: str) -> argparse.ArgumentParser:
                    help="write annotated video to this path (MJPG avi)")
     p.add_argument("--save-segments", default=None,
                    help="pickle accepted flow-line segments to this path")
+    p.add_argument("--plot-vp", default=None,
+                   help="write the CP/VP scatter (reference plot_vp) PNG here")
+    p.add_argument("--all-lines-png", default=None,
+                   help="write the accumulated flow-lines frame PNG here")
+    p.add_argument("--stats-png", default=None,
+                   help="write the VP-distribution scatter "
+                        "(reference data_statistic) PNG here")
+    p.add_argument("--checkpoint", default=None,
+                   help="save final pipeline state to this .npz")
+    p.add_argument("--resume", default=None,
+                   help="resume pipeline state from this .npz")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -59,8 +70,8 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
     stream = open_frames(args)
     pipe = VideoPipeline(cfg, src_size=(stream.width, stream.height),
                          chunk=args.chunk)
-    writer = None
-    overlay = None
+    if args.resume:
+        pipe.resume_from(args.resume)
     t0 = time.time()
     buf = []
     n_done = 0
@@ -86,6 +97,31 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
         save_segments_pickle(pipe.segments, args.save_segments)
     if args.write_video and raw_frames:
         overlay_video(pipe, cfg, raw_frames, args.write_video)
+    if args.checkpoint and pipe.state is not None:
+        pipe.save_checkpoint(args.checkpoint)
+    if args.plot_vp:
+        from lk_tpu import viz
+
+        vp = pipe.csv_rows[-1] if pipe.csv_rows else None
+        viz.plot_vp_figure(
+            np.array(pipe.csv_rows, np.float64).reshape(-1, 2),
+            np.array(pipe.cross_points, np.float64).reshape(-1, 2),
+            vp, pipe.width, pipe.height,
+            out_path=args.plot_vp, window=cfg.vp_ref,
+        )
+    if args.all_lines_png:
+        from lk_tpu import viz
+
+        vp = pipe.csv_rows[-1] if pipe.csv_rows else None
+        viz.all_lines_image(pipe.segments, pipe.width, pipe.height, vp,
+                            out_path=args.all_lines_png)
+    if args.stats_png:
+        from lk_tpu import viz
+
+        rows = np.array(pipe.csv_rows, np.float64).reshape(-1, 2)
+        viz.vp_distribution_figure(rows[:, 0], rows[:, 1],
+                                   pipe.width, pipe.height,
+                                   out_path=args.stats_png)
     if not args.quiet:
         print("-" * 30)
         print(f"frames: {pipe.frames_done}  wall: {dt:.1f}s "

@@ -77,7 +77,20 @@ class VideoPipeline:
         self.state: Optional[PipelineState] = None
         self.csv_rows: List[Tuple[float, float]] = []
         self.segments: List[dict] = []
+        self.cross_points: List[Tuple[float, float]] = []
         self.frames_done = 0
+        self._pending_resume: Optional[str] = None
+
+    def resume_from(self, path: str) -> None:
+        """Restore pipeline state from a checkpoint on the next feed()."""
+        self._pending_resume = path
+
+    def save_checkpoint(self, path: str) -> str:
+        from lk_tpu.utils.checkpoint import save_state
+
+        if self.state is None:
+            raise RuntimeError("no state to checkpoint yet")
+        return save_state(self.state, path)
 
     def _ingest(self, frames_u8: np.ndarray) -> jnp.ndarray:
         x = jnp.asarray(frames_u8)
@@ -88,6 +101,11 @@ class VideoPipeline:
         grays = self._ingest(frames_u8)
         if self.state is None:
             self.state = self.init_fn(grays[0])
+            if self._pending_resume is not None:
+                from lk_tpu.utils.checkpoint import load_state
+
+                self.state = load_state(self.state, self._pending_resume)
+                self._pending_resume = None
             grays = grays[1:]
             if grays.shape[0] == 0:
                 return None
@@ -104,7 +122,11 @@ class VideoPipeline:
         seg_s = np.asarray(outs.line_start)
         seg_e = np.asarray(outs.line_stop)
         seg_m = np.asarray(outs.line_mask)
+        cp_xy = np.asarray(outs.cp_xy)
+        cp_m = np.asarray(outs.cp_mask)
         for k in range(t):
+            for c in cp_xy[k][cp_m[k]]:
+                self.cross_points.append((float(c[0]), float(c[1])))
             if self.cfg.csv_rows_on_update:
                 for r in upd_rows[k][upd_mask[k]]:
                     self.csv_rows.append((float(r[0]), float(r[1])))

@@ -1,0 +1,101 @@
+"""Aux subsystems: checkpoint/resume, homography, viz, profiling."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lk_tpu.config import PipelineConfig
+from lk_tpu.ops.homography import get_perspective_transform, warp_perspective
+from lk_tpu.pipeline.state import init_pipeline_state
+from lk_tpu.utils.checkpoint import load_state, save_state
+from lk_tpu.utils.profiling import FrameRateMeter, Spans
+
+
+class TestCheckpoint:
+    def test_roundtrip_pipeline_state(self, tmp_path, rng):
+        cfg = PipelineConfig()
+        gray = jnp.asarray(rng.random((48, 64)).astype(np.float32))
+        st = init_pipeline_state(gray, cfg)
+        st = st._replace(tp_ult=jnp.int32(7))
+        p = str(tmp_path / "ck.npz")
+        save_state(st, p)
+        st2 = load_state(init_pipeline_state(gray * 0, cfg), p)
+        assert int(st2.tp_ult) == 7
+        np.testing.assert_allclose(np.asarray(st2.prev_gray),
+                                   np.asarray(st.prev_gray))
+
+    def test_shape_mismatch_rejected(self, tmp_path, rng):
+        cfg = PipelineConfig()
+        gray = jnp.asarray(rng.random((48, 64)).astype(np.float32))
+        st = init_pipeline_state(gray, cfg)
+        p = str(tmp_path / "ck.npz")
+        save_state(st, p)
+        other = init_pipeline_state(
+            jnp.zeros((24, 32), jnp.float32), cfg
+        )
+        with pytest.raises(ValueError):
+            load_state(other, p)
+
+
+class TestHomography:
+    def test_matches_cv(self, rng):
+        import cv2 as cv
+
+        src = np.float32([[10, 10], [90, 12], [88, 70], [12, 72]])
+        dst = np.float32([[0, 0], [100, 0], [100, 80], [0, 80]])
+        ours = np.asarray(get_perspective_transform(src, dst))
+        ref = cv.getPerspectiveTransform(src, dst)
+        np.testing.assert_allclose(ours / ours[2, 2], ref / ref[2, 2],
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_warp_matches_cv(self, rng):
+        import cv2 as cv
+
+        img = (rng.random((80, 100)) * 255).astype(np.float32)
+        src = np.float32([[10, 10], [90, 12], [88, 70], [12, 72]])
+        dst = np.float32([[0, 0], [100, 0], [100, 80], [0, 80]])
+        h = cv.getPerspectiveTransform(src, dst)
+        ref = cv.warpPerspective(img, h, (100, 80))
+        ours = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(h),
+                                           80, 100))
+        # compare interior (border handling differs: clamp vs zero-fill)
+        np.testing.assert_allclose(ours[5:-5, 5:-5], ref[5:-5, 5:-5], atol=1.0)
+
+
+class TestViz:
+    def test_figures_render(self, tmp_path, rng):
+        from lk_tpu import viz
+
+        hist = rng.random((50, 2)) * 100 + 300
+        cps = rng.random((80, 2)) * 100 + 300
+        p1 = viz.plot_vp_figure(hist, cps, (430, 240), 860, 483,
+                                out_path=str(tmp_path / "a.png"))
+        p2 = viz.vp_distribution_figure(hist[:, 0], hist[:, 1], 860, 483,
+                                        out_path=str(tmp_path / "b.png"))
+        segs = [dict(start=np.array([10.0, 10.0]), stop=np.array([20.0, 30.0]))]
+        p3 = viz.all_lines_image(segs, 860, 483, (430, 240),
+                                 out_path=str(tmp_path / "c.png"))
+        import os
+
+        assert all(os.path.getsize(p) > 1000 for p in (p1, p2, p3))
+
+
+class TestProfiling:
+    def test_fps_meter(self):
+        m = FrameRateMeter(window=5)
+        import time
+
+        for _ in range(5):
+            m.tick()
+            time.sleep(0.01)
+        assert 20 < m.fps < 200
+
+    def test_spans(self):
+        s = Spans()
+        with s("a"):
+            pass
+        with s("a"):
+            pass
+        assert s.count["a"] == 2
+        assert "a" in s.summary()
