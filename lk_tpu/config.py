@@ -43,6 +43,10 @@ class DenseLKConfig:
 
     outer_iters: int = 6
     max_disp: int = 32
+    # Use the Pallas locality-exploiting warp kernel (flow/pallas_kernels.py)
+    # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
+    # path remains the portable fallback and the accuracy reference.
+    use_pallas_warp: bool = False
 
     def level_disp(self, level: int) -> int:
         return max(4, self.max_disp >> level)

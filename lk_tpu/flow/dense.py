@@ -82,6 +82,22 @@ def dense_lk_level(
     next_ = next_.astype(jnp.float32)
     r_disp = dense_cfg.max_disp if max_disp is None else max_disp
 
+    # The Pallas warp tiles at (16, 256); edge-pad to multiples and crop at
+    # the end (border windows then see replicated rows — border-only effect).
+    orig_hw = prev.shape[-2:]
+    if dense_cfg.use_pallas_warp:
+        th, tw = 16, 256
+        h0, w0 = orig_hw
+        hp = -(-h0 // th) * th
+        wp = -(-w0 // tw) * tw
+        if (hp, wp) != (h0, w0):
+            pad_cfg = ((0, hp - h0), (0, wp - w0))
+            prev = jnp.pad(prev, pad_cfg, mode="edge")
+            next_ = jnp.pad(next_, pad_cfg, mode="edge")
+            flow_init = jnp.pad(
+                flow_init, (pad_cfg[0], pad_cfg[1], (0, 0)), mode="edge"
+            )
+
     ix, iy = scharr_derivatives(prev)
     a11 = box_sum(ix * ix, win)
     a12 = box_sum(ix * iy, win)
@@ -99,7 +115,14 @@ def dense_lk_level(
 
     def body(_, carry):
         flow, active = carry
-        jw = shift_select_warp(next_, flow, (r_disp, r_disp))
+        if dense_cfg.use_pallas_warp:
+            from lk_tpu.flow.pallas_kernels import pallas_local_warp
+
+            jw = pallas_local_warp(
+                next_, flow, max_disp=r_disp, tile_h=16, tile_w=256
+            )
+        else:
+            jw = shift_select_warp(next_, flow, (r_disp, r_disp))
         # Warped gradient approximated by the gradient of the warped image
         # (equal to first order in the flow Jacobian; avoids 2 extra warps).
         jwx, jwy = scharr_derivatives(jw)
@@ -133,6 +156,11 @@ def dense_lk_level(
         body,
         (flow_init.astype(jnp.float32), active0),
     )
+    h0, w0 = orig_hw
+    if flow.shape[:2] != (h0, w0):
+        flow = flow[:h0, :w0]
+        min_eig = min_eig[:h0, :w0]
+        valid = valid[:h0, :w0]
     return DenseFlowResult(flow=flow, min_eig=min_eig, valid=valid)
 
 

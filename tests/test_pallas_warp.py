@@ -1,0 +1,69 @@
+"""Pallas locality-exploiting warp kernel (interpret mode on CPU).
+
+Hardware behavior (Mosaic alignment rules, dynamic roll lane-group quirk) is
+exercised on the real chip by bench/verify runs; these tests pin down the
+kernel's math against the gather oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import lk_tpu.flow.pallas_kernels as pk
+from lk_tpu.ops.warp import warp_by_flow
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+class TestPallasLocalWarp:
+    @pytest.mark.parametrize(
+        "shift", [(0.0, 0.0), (2.5, -1.5), (31.0, 14.0), (-20.5, 9.25)]
+    )
+    def test_constant_flow_exact(self, rng, shift):
+        h, w = 64, 768
+        img = jnp.asarray(rng.random((h, w)).astype(np.float32) * 255)
+        flow = jnp.asarray(
+            np.broadcast_to(np.array(shift, np.float32), (h, w, 2)).copy()
+        )
+        out = pk.pallas_local_warp(img, flow)
+        ref = warp_by_flow(img, flow)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+    def test_smooth_zoom_close(self, rng):
+        h, w = 64, 768
+        img = jnp.asarray(rng.random((h, w)).astype(np.float32) * 255)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        flow = jnp.asarray(
+            np.stack([(xs - w / 2) * 0.02 + 3.0, (ys - h / 2) * 0.02 - 2.0],
+                     -1).astype(np.float32)
+        )
+        out = pk.pallas_local_warp(img, flow)
+        ref = warp_by_flow(img, flow)
+        d = np.abs(np.asarray(out) - np.asarray(ref))
+        # second-order separable error only (same class as the XLA 2-pass)
+        assert d.max() < 0.05, d.max()
+
+    def test_residual_clamp_behavior(self, rng):
+        """Flow deviating more than `local` from the tile reference clamps."""
+        h, w = 16, 384
+        img = jnp.asarray(np.tile(np.arange(w, dtype=np.float32), (h, 1)))
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[0, 0, 0] = 20.0   # outlier vs tile reference ~0
+        out = np.asarray(pk.pallas_local_warp(jnp.asarray(img),
+                                              jnp.asarray(flow)))
+        # clamped to local range (8 + fractional margin), not 20
+        assert out[0, 0] <= 17.0
+        # non-outlier pixels exact
+        assert abs(out[5, 100] - 100.0) < 1e-4
