@@ -81,16 +81,23 @@ def throughput() -> float:
     rng = np.random.default_rng(3)
     prev = jnp.asarray((rng.random((BATCH, H, W)) * 255).astype(np.float32))
     nxt = jnp.asarray((rng.random((BATCH, H, W)) * 255).astype(np.float32))
+    dcfg = DenseLKConfig(
+        use_pallas_warp=os.environ.get("LK_BENCH_PALLAS", "0") == "1"
+    )
     if BATCH == 1:
         fn_single = jax.jit(
-            lambda a, b: dense_pyramidal_lk(a[0], b[0], LKConfig()).flow
+            lambda a, b: dense_pyramidal_lk(
+                a[0], b[0], LKConfig(), dense_cfg=dcfg
+            ).flow
         )
         fn = fn_single
     else:
         from lk_tpu.flow.dense import dense_pyramidal_lk_batched
 
         fn = jax.jit(
-            lambda a, b: dense_pyramidal_lk_batched(a, b, LKConfig())
+            lambda a, b: dense_pyramidal_lk_batched(
+                a, b, LKConfig(), dense_cfg=dcfg
+            )
         )
 
     def once():

@@ -53,7 +53,7 @@ from lk_tpu.ops.blur import pyr_down
 from lk_tpu.ops.boxfilter import box_sum
 from lk_tpu.ops.gradients import scharr_derivatives
 from lk_tpu.ops.warp import shift_select_warp
-from lk_tpu.ops.resize import resize_linear
+from lk_tpu.ops.resize import resize_linear, upsample2_linear
 
 # OpenCV's fixed-point A-matrix is ours/1024 (see flow/sparse.py); its default
 # minEigThreshold of 1e-4 maps to this on the normalized-gradient scale.
@@ -123,20 +123,15 @@ def dense_lk_level(
             )
         else:
             jw = shift_select_warp(next_, flow, (r_disp, r_disp))
-        # Warped gradient approximated by the gradient of the warped image
-        # (equal to first order in the flow Jacobian; avoids 2 extra warps).
-        jwx, jwy = scharr_derivatives(jw)
-        # Residual with the first-order window-coherence correction folded in:
-        # r = D - gJw . v  (elementwise), then b = box(gI*r) + M . v(p).
-        r = jw - prev - (jwx * flow[..., 0] + jwy * flow[..., 1])
-        b1 = box_sum(ix * r, win)
-        b2 = box_sum(iy * r, win)
-        m11 = box_sum(ix * jwx, win)
-        m12 = box_sum(ix * jwy, win)
-        m21 = box_sum(iy * jwx, win)
-        m22 = box_sum(iy * jwy, win)
-        b1 = b1 + m11 * flow[..., 0] + m12 * flow[..., 1]
-        b2 = b2 + m21 * flow[..., 0] + m22 * flow[..., 1]
+        # Inverse-compositional form: the warped gradient in the coherence
+        # correction is replaced by the *template* gradient gI (the same
+        # substitution OpenCV's per-point solver makes) — then the correction
+        # matrix box(gI gI^T) IS the precomputed structure tensor, leaving 2
+        # box sums per iteration instead of 6 and no warped-gradient Scharr.
+        # Measured: equal-or-better EPE than the warped-gradient form.
+        r = jw - prev - (ix * flow[..., 0] + iy * flow[..., 1])
+        b1 = box_sum(ix * r, win) + a11 * flow[..., 0] + a12 * flow[..., 1]
+        b2 = box_sum(iy * r, win) + a12 * flow[..., 0] + a22 * flow[..., 1]
         du = (a12 * b2 - a22 * b1) * inv_det
         dv = (a12 * b1 - a11 * b2) * inv_det
         upd = active & valid
@@ -205,7 +200,7 @@ def dense_pyramidal_lk_batched(
 
 
 def _upsample_flow(flow: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
-    up = resize_linear(jnp.moveaxis(flow, -1, 0), dst_h, dst_w)
+    up = upsample2_linear(jnp.moveaxis(flow, -1, 0), dst_h, dst_w)
     return jnp.moveaxis(up, 0, -1) * 2.0
 
 

@@ -59,9 +59,23 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """One pyramid level down: 5-tap Gaussian + even-pixel decimation.
 
     Output spatial size is ceil(n/2) per axis, matching cv.pyrDown.
+
+    Order matters on TPU: filter rows -> decimate rows -> filter cols ->
+    decimate cols.  Decimating rows first halves the horizontal-filter work
+    and, critically, avoids the full-size [::2, ::2] strided slice, which
+    lowers to a ~5 ms relayout at 1080p (measured; this form is ~0.1 ms).
+    The result is mathematically identical (decimation commutes with the
+    orthogonal filter axis).
     """
-    sm = sep_filter2d(img, _GAUSS5)
-    return sm[..., ::2, ::2]
+    x = _sep_filter_axis(img, _GAUSS5, axis=-2)
+    sl = [slice(None)] * x.ndim
+    sl[-2] = slice(None, None, 2)
+    x = x[tuple(sl)]
+    x = _sep_filter_axis(x, _GAUSS5, axis=-1)
+    sl = [slice(None)] * x.ndim
+    sl[-2] = slice(None)
+    sl[-1] = slice(None, None, 2)
+    return x[tuple(sl)]
 
 
 def gaussian_pyramid(img: jnp.ndarray, max_level: int) -> list[jnp.ndarray]:

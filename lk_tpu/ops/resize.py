@@ -72,6 +72,48 @@ def resize_linear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     return _apply_sep(img, linear_weights(h, dst_h), linear_weights(w, dst_w))
 
 
+def upsample2_linear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """~2x linear upsample of trailing (H, W) as a pure stencil.
+
+    Matmul-based resize costs O(dst*src) MACs per output row — ruinous for
+    the per-level flow upsample in pyramidal LK (measured: it dominated the
+    1080p frame time).  Exact INTER_LINEAR for dst == 2*src; for the pyramid's
+    ceil-half sizes (dst == 2*src - 1) the scale-2 coefficients are kept and
+    the result cropped, displacing samples by < 0.3 px at the far border —
+    irrelevant for a flow initialization that is refined afterwards.
+
+    out[d] = 0.25 * A[d-1] + 0.75-weighted blend where A = repeat(src, 2):
+    src[(d-1)//2] = A[d-1], src[(d+1)//2] = A[d+1], with alternating
+    fractions (0.75, 0.25).
+    """
+
+    def up_axis(x, dst, axis):
+        src = x.shape[axis]
+        assert dst in (2 * src, 2 * src - 1), (src, dst)
+        a = jnp.repeat(x, 2, axis=axis)
+        n = 2 * src
+        sl_lo = [slice(None)] * x.ndim
+        sl_hi = [slice(None)] * x.ndim
+        sl_lo[axis] = slice(0, n - 1)
+        sl_hi[axis] = slice(1, n)
+        pad_first = [(0, 0)] * x.ndim
+        pad_first[axis] = (1, 0)
+        pad_last = [(0, 0)] * x.ndim
+        pad_last[axis] = (0, 1)
+        low = jnp.pad(a[tuple(sl_lo)], pad_first, mode="edge")   # A[d-1]
+        high = jnp.pad(a[tuple(sl_hi)], pad_last, mode="edge")   # A[d+1]
+        shape = [1] * x.ndim
+        shape[axis] = n
+        frac = jnp.tile(jnp.array([0.75, 0.25], jnp.float32), src).reshape(shape)
+        out = low * (1.0 - frac) + high * frac
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, dst)
+        return out[tuple(sl)]
+
+    y = up_axis(img.astype(jnp.float32), dst_h, img.ndim - 2)
+    return up_axis(y, dst_w, img.ndim - 1)
+
+
 def imutils_width_resize(img: jnp.ndarray, width: int) -> jnp.ndarray:
     """Aspect-preserving resize to a target width, imutils semantics.
 
