@@ -89,6 +89,7 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
             buf.clear()
     if buf:
         pipe.feed(np.stack(buf))
+    pipe.drain()
     dt = time.time() - t0
 
     name = video_name_of(args)

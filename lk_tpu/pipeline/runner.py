@@ -80,6 +80,14 @@ class VideoPipeline:
         self.cross_points: List[Tuple[float, float]] = []
         self.frames_done = 0
         self._pending_resume: Optional[str] = None
+        self._pending_outs: List[FrameOutputs] = []
+        self.drain_every = 4  # chunks buffered before a host readback
+
+    def drain(self) -> None:
+        """Flush buffered per-chunk outputs to the host sinks."""
+        for outs in self._pending_outs:
+            self._drain(outs)
+        self._pending_outs.clear()
 
     def resume_from(self, path: str) -> None:
         """Restore pipeline state from a checkpoint on the next feed()."""
@@ -110,10 +118,19 @@ class VideoPipeline:
             if grays.shape[0] == 0:
                 return None
         self.state, outs = self._run_jit(self.state, grays)
-        self._drain(outs)
+        # Defer the device->host fetch: dispatch is async, so stashing the
+        # handles lets the next chunk's compute overlap this chunk's readback
+        # (the axon tunnel costs ~33 ms per synchronous round trip).
+        self._pending_outs.append(outs)
+        if len(self._pending_outs) >= self.drain_every:
+            self.drain()
         return outs
 
     def _drain(self, outs: FrameOutputs) -> None:
+        # One device->host transfer for the whole pytree: per-array fetches
+        # each pay the full tunnel round trip (~33 ms measured) and dominated
+        # the host loop.
+        outs = jax.device_get(outs)
         t = outs.show_mask.shape[0]
         upd_rows = np.asarray(outs.update_rows)
         upd_mask = np.asarray(outs.update_mask)
@@ -150,3 +167,4 @@ class VideoPipeline:
                 buf.clear()
         if buf:
             self.feed(np.stack(buf))
+        self.drain()
