@@ -1,0 +1,61 @@
+"""CLI app smoke tests (CPU, tiny synthetic runs) + output-format goldens."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("app", ["final", "vp_detect", "classify"])
+def test_vp_apps_produce_csv(app, tmp_path, monkeypatch):
+    mod = __import__(f"lk_tpu.apps.{app}", fromlist=["main"])
+    out_dir = str(tmp_path / "vps")
+    mod.main(["--synthetic", "--frames", "14", "--chunk", "6",
+              "--out-dir", out_dir, "--quiet"])
+    path = os.path.join(out_dir, "vps_synthetic.csv")
+    assert os.path.exists(path)
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    # reference format: header exactly x,y then float pairs
+    assert rows[0] == ["x", "y"]
+    for r in rows[1:]:
+        assert len(r) == 2
+        float(r[0]), float(r[1])
+
+
+def test_masking_app(tmp_path):
+    from lk_tpu.apps import masking
+
+    png = str(tmp_path / "tracks.png")
+    segs = masking.main(["--synthetic", "--frames", "8", "--chunk", "4",
+                         "--tracks-png", png, "--quiet"])
+    assert os.path.exists(png)
+
+
+def test_roadlines_app(tmp_path):
+    from lk_tpu.apps import roadlines
+
+    d = str(tmp_path / "d.png")
+    f = str(tmp_path / "f.png")
+    lengths, angles = roadlines.main(
+        ["--synthetic", "--frames", "8", "--chunk", "4",
+         "--dist-png", d, "--freq-png", f, "--quiet"])
+    assert os.path.exists(d) and os.path.exists(f)
+
+
+def test_csv_matches_reference_artifact_format(tmp_path):
+    """Our CSV writer's output parses identically to the reference's
+    committed vps_*.csv files (header + float rows)."""
+    from lk_tpu.io.sink import save_vp_csv, read_vp_csv
+
+    rows = [(430.125, 217.5), (430.5, 218.0), (430.5, 218.0)]
+    p = save_vp_csv(rows, "golden", str(tmp_path))
+    xs, ys = read_vp_csv(p)
+    assert xs == [430.125, 430.5, 430.5]
+    with open(p) as f:
+        first = f.readline().strip()
+    assert first == "x,y"
+    # reference files contain consecutive duplicate rows (shown-frame repeat
+    # semantics, SURVEY §2.3) — writer must preserve duplicates verbatim
+    assert ys[1] == ys[2]
