@@ -33,15 +33,19 @@ class LKConfig:
 class DenseLKConfig:
     """Dense-flow-specific knobs on top of LKConfig.
 
-    outer_iters: warp+solve rounds per pyramid level.  Each solve is exact to
-    first order (flow/dense.py); 6 rounds give mean EPE ~0.04 px vs ground
-    truth on a 9-px synthetic shift (3 rounds leave a heavy tail).
+    outer_iters: warp+solve rounds for a single level call.  Each solve is
+    exact to first order (flow/dense.py).
+    iter_schedule: per-level rounds for the pyramid driver, indexed by level
+    (the last entry extends to deeper levels).  The top level does the real
+    search; the well-initialized fine levels only polish — (2, 3, 6) measures
+    the same EPE as (6, 6, 6) at 2x the 1080p throughput (369 vs 180 fps).
     max_disp: level-0 integer displacement bound for the gather-free warp
     (ops/warp.py shift_select_warp); level L uses max(4, max_disp >> L).
     Total trackable |flow| is bounded by max_disp.
     """
 
     outer_iters: int = 6
+    iter_schedule: Tuple[int, ...] = (2, 3, 6)
     max_disp: int = 32
     # Use the Pallas locality-exploiting warp kernel (flow/pallas_kernels.py)
     # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
@@ -50,6 +54,10 @@ class DenseLKConfig:
 
     def level_disp(self, level: int) -> int:
         return max(4, self.max_disp >> level)
+
+    def level_iters(self, level: int) -> int:
+        s = self.iter_schedule
+        return s[min(level, len(s) - 1)] if s else self.outer_iters
 
 
 @dataclasses.dataclass(frozen=True)

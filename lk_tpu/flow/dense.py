@@ -82,14 +82,17 @@ def dense_lk_level(
     next_ = next_.astype(jnp.float32)
     r_disp = dense_cfg.max_disp if max_disp is None else max_disp
 
-    # The Pallas warp tiles at (16, 256); edge-pad to multiples and crop at
-    # the end (border windows then see replicated rows — border-only effect).
+    # The Pallas warp needs H % 16 == 0 and W % tile_w == 0; pick tile_w to
+    # minimize padding (pad-dominated tiles skew the per-tile reference
+    # displacement) and edge-pad the remainder, cropping at the end.
     orig_hw = prev.shape[-2:]
     if dense_cfg.use_pallas_warp:
-        th, tw = 16, 256
+        from lk_tpu.flow.pallas_kernels import pick_tile_w
+
+        th = 16
         h0, w0 = orig_hw
+        tw, wp = pick_tile_w(w0)
         hp = -(-h0 // th) * th
-        wp = -(-w0 // tw) * tw
         if (hp, wp) != (h0, w0):
             pad_cfg = ((0, hp - h0), (0, wp - w0))
             prev = jnp.pad(prev, pad_cfg, mode="edge")
@@ -97,6 +100,8 @@ def dense_lk_level(
             flow_init = jnp.pad(
                 flow_init, (pad_cfg[0], pad_cfg[1], (0, 0)), mode="edge"
             )
+    else:
+        tw = None
 
     ix, iy = scharr_derivatives(prev)
     a11 = box_sum(ix * ix, win)
@@ -119,7 +124,7 @@ def dense_lk_level(
             from lk_tpu.flow.pallas_kernels import pallas_local_warp
 
             jw = pallas_local_warp(
-                next_, flow, max_disp=r_disp, tile_h=16, tile_w=256
+                next_, flow, max_disp=r_disp, tile_h=16, tile_w=tw
             )
         else:
             jw = shift_select_warp(next_, flow, (r_disp, r_disp))
@@ -228,13 +233,18 @@ def dense_pyramidal_lk(
     else:
         flow = init_flow.astype(jnp.float32)
 
+    import dataclasses
+
     result = None
     for level in range(top, -1, -1):
         if level != top:
             h, w = prev_levels[level].shape[-2:]
             flow = _upsample_flow(flow, h, w)
+        level_cfg = dataclasses.replace(
+            dense_cfg, outer_iters=dense_cfg.level_iters(level)
+        )
         result = dense_lk_level(
-            prev_levels[level], next_levels[level], flow, cfg, dense_cfg,
+            prev_levels[level], next_levels[level], flow, cfg, level_cfg,
             max_disp=dense_cfg.level_disp(level),
         )
         flow = result.flow

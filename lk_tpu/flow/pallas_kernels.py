@@ -43,6 +43,25 @@ def _pow2_lanes(n: int) -> int:
     return v
 
 
+def pick_tile_w(w: int) -> tuple[int, int]:
+    """(tile_w, padded_w) minimizing frame padding under Mosaic's rule that
+    block widths be 128-divisible or equal to the array width.
+
+    Heavy padding is not just wasted compute — tiles dominated by padded
+    (frozen) flow get an unrepresentative reference displacement and clamp
+    real pixels' residuals (measured: mean EPE 0.35 vs 0.027 on a 9 px shift
+    at 640-wide frames padded to 768).  Wide single tiles also hurt: the
+    per-tile residual range must cover the flow variation across the tile.
+    """
+    if w <= 512:
+        return w, w                      # single full-width tile (legal)
+    for tw in (512, 384, 256, 128):
+        if w % tw == 0:
+            return tw, w                 # exact tiling, no padding
+    padded = -(-w // 128) * 128
+    return 128, padded                   # minimal pad, narrow tiles
+
+
 def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
                  *, h, w, pad, max_disp, tile_h, tile_w, local):
     # next_hbm is the (h + 2*pad, w + 2*pad) edge-padded image with
