@@ -20,25 +20,30 @@ residual to first order in the within-window flow variation:
 
     J(q + v_p) ~= J(q + v_q) + grad_J(q + v_q) . (v_p - v_q)
 
-which makes the exact per-point Gauss-Newton right-hand side box-summable:
+and substitute the *template* gradient for the warped gradient (the
+inverse-compositional trick — the same substitution OpenCV's per-point solver
+makes).  The correction matrix box[gI gI^T] is then exactly the precomputed
+structure tensor A, so the right-hand side needs only two box sums:
 
-    b(p) = box[ gI * (D - gJw.v) ](p) + box[ gI gJw^T ](p) . v(p)
+    b(p) = box[ gI * (D - gI.v) ](p) + A(p) . v(p)
 
-with D = J(q+v_q) - I(q), gI = Scharr(prev), gJw ~= Scharr(J warped) (equal to
-the warped gradient to first order in the flow Jacobian).  Because each solve
-is exact to first order, a few outer warp+solve rounds per level replace
-OpenCV's 10 resampling iterations (cfg.outer_iters, default 3).
+with D = J(q+v_q) - I(q), gI = Scharr(prev).  Each solve is exact to first
+order, so a few outer warp+solve rounds per level replace OpenCV's 10
+resampling iterations; the per-level schedule (DenseLKConfig.iter_schedule,
+default (2,3,6)) spends rounds at the top level where the search happens.
 
 TPU mapping
 -----------
 XLA's 2-D gather lowers to one-element DMAs (~23 ms/1080p frame, measured),
-so the warp is ops.warp.shift_select_warp: a gather-free two-pass
-shift-select with per-level displacement bounds (DenseLKConfig.max_disp).
-Everything else is stencil/elementwise work: 6 box sums + one 2x2 solve per
-outer round, fixed shapes, per-pixel masked convergence.
+so the warp is either ops.warp.shift_select_warp (bounded two-pass
+shift-select; portable, but XLA unrolls it into programs whose size scales
+with the array) or the Pallas locality-exploiting kernel
+(flow/pallas_kernels.py, DenseLKConfig.use_pallas_warp) — the production
+path.  Everything else is stencil/elementwise work: 2 box sums + one 2x2
+solve per outer round, fixed shapes, per-pixel masked convergence.
 
-Measured accuracy equals OpenCV per-point tracking (mean EPE 0.017 px vs its
-0.0167 on a 9-px synthetic shift; tests/test_flow_dense.py).
+Measured: mean EPE 0.013 px vs cv.calcOpticalFlowPyrLK on dashcam-regime
+motion; 300+ frames/s/chip at 1080p on v5e (bench.py).
 """
 
 from __future__ import annotations
@@ -89,7 +94,7 @@ def dense_lk_level(
     if dense_cfg.use_pallas_warp:
         from lk_tpu.flow.pallas_kernels import pick_tile_w
 
-        th = 16
+        th = 64  # fewer, taller tiles amortize per-tile DMA latency (measured)
         h0, w0 = orig_hw
         tw, wp = pick_tile_w(w0)
         hp = -(-h0 // th) * th
@@ -124,7 +129,7 @@ def dense_lk_level(
             from lk_tpu.flow.pallas_kernels import pallas_local_warp
 
             jw = pallas_local_warp(
-                next_, flow, max_disp=r_disp, tile_h=16, tile_w=tw
+                next_, flow, max_disp=r_disp, tile_h=64, tile_w=tw
             )
         else:
             jw = shift_select_warp(next_, flow, (r_disp, r_disp))
