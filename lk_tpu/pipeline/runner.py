@@ -78,6 +78,7 @@ class VideoPipeline:
         self.csv_rows: List[Tuple[float, float]] = []
         self.segments: List[dict] = []
         self.cross_points: List[Tuple[float, float]] = []
+        self.motion_rows: List[Tuple[float, ...]] = []
         self.frames_done = 0
         self._pending_resume: Optional[str] = None
         self._pending_outs: List[FrameOutputs] = []
@@ -141,7 +142,9 @@ class VideoPipeline:
         seg_m = np.asarray(outs.line_mask)
         cp_xy = np.asarray(outs.cp_xy)
         cp_m = np.asarray(outs.cp_mask)
+        fracs = np.asarray(outs.motion_fracs)
         for k in range(t):
+            self.motion_rows.append(tuple(np.round(fracs[k], 4)))
             for c in cp_xy[k][cp_m[k]]:
                 self.cross_points.append((float(c[0]), float(c[1])))
             if self.cfg.csv_rows_on_update:

@@ -44,6 +44,8 @@ class FrameOutputs(NamedTuple):
     live_count: jnp.ndarray    # () i32
     vp_xy: jnp.ndarray         # (2,) current VP (post-frame)
     vp_init: jnp.ndarray       # () bool
+    motion_labels: jnp.ndarray # (L,) i32 per-line motion class (geometry.classify)
+    motion_fracs: jnp.ndarray  # (4,) static/away/toward/lateral fractions
 
 
 def slots_per_group(cfg: PipelineConfig) -> int:

@@ -203,6 +203,13 @@ def make_step(
             vp=vp_state,
             tp_ult=tp_ult,
         )
+        # motion classification relative to the current VP (per accepted line)
+        from lk_tpu.geometry.classify import classify_flow_lines
+
+        motion = classify_flow_lines(
+            stats_all.start, stats_all.stop,
+            accepted & vp_state.vp_init, vp_state.vp_xy,
+        )
         outputs = FrameOutputs(
             update_rows=geom.update_rows,
             update_mask=geom.update_mask,
@@ -219,6 +226,11 @@ def make_step(
             live_count=live,
             vp_xy=vp_state.vp_xy,
             vp_init=vp_state.vp_init,
+            motion_labels=motion.labels,
+            motion_fracs=jnp.stack([
+                motion.frac_static, motion.frac_away,
+                motion.frac_toward, motion.frac_lateral,
+            ]),
         )
         return new_state, outputs
 
