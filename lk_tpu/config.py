@@ -51,6 +51,10 @@ class DenseLKConfig:
     # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
     # path remains the portable fallback and the accuracy reference.
     use_pallas_warp: bool = False
+    # Fuse the whole IC iteration (warp + residual + box sums + solve) into
+    # one Pallas kernel.  Implies the pallas tiling constraints; drops the
+    # per-pixel eps early-stop (converged pixels take |delta|~0 steps).
+    use_pallas_fused: bool = False
 
     def level_disp(self, level: int) -> int:
         return max(4, self.max_disp >> level)

@@ -91,7 +91,8 @@ def dense_lk_level(
     # minimize padding (pad-dominated tiles skew the per-tile reference
     # displacement) and edge-pad the remainder, cropping at the end.
     orig_hw = prev.shape[-2:]
-    if dense_cfg.use_pallas_warp:
+    use_pallas = dense_cfg.use_pallas_warp or dense_cfg.use_pallas_fused
+    if use_pallas:
         from lk_tpu.flow.pallas_kernels import pick_tile_w
 
         th = 64  # fewer, taller tiles amortize per-tile DMA latency (measured)
@@ -109,9 +110,13 @@ def dense_lk_level(
         tw = None
 
     ix, iy = scharr_derivatives(prev)
-    a11 = box_sum(ix * ix, win)
-    a12 = box_sum(ix * iy, win)
-    a22 = box_sum(iy * iy, win)
+    # The fused kernel's b sums see edge-replicated halos at frame borders;
+    # A must use the same border policy or border solves are inconsistent
+    # (measured: up to 5.7 px border garbage diffusing ~16 px inward/iter).
+    a_border = "edge" if dense_cfg.use_pallas_fused else "zero"
+    a11 = box_sum(ix * ix, win, border=a_border)
+    a12 = box_sum(ix * iy, win, border=a_border)
+    a22 = box_sum(iy * iy, win, border=a_border)
     det = a11 * a22 - a12 * a12
     min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
         2.0 * area
@@ -122,6 +127,28 @@ def dense_lk_level(
     h, w = prev.shape[-2:]
     eps2 = jnp.float32(cfg.eps * cfg.eps)
     bound = jnp.float32(r_disp)
+
+    if dense_cfg.use_pallas_fused:
+        from lk_tpu.flow.pallas_kernels import make_fused_lk_iter
+
+        iter_fn = make_fused_lk_iter(
+            next_, prev, ix, iy, a11, a12, a22, inv_det, valid,
+            max_disp=r_disp, tile_h=64, tile_w=tw, win_k=win_h,
+        )
+
+        def fused_body(_, flow):
+            return iter_fn(flow)
+
+        flow = jax.lax.fori_loop(
+            0, dense_cfg.outer_iters, fused_body,
+            flow_init.astype(jnp.float32),
+        )
+        h0, w0 = orig_hw
+        if flow.shape[:2] != (h0, w0):
+            flow = flow[:h0, :w0]
+            min_eig = min_eig[:h0, :w0]
+            valid = valid[:h0, :w0]
+        return DenseFlowResult(flow=flow, min_eig=min_eig, valid=valid)
 
     def body(_, carry):
         flow, active = carry

@@ -1,24 +1,33 @@
 """Pallas TPU kernels for the dense-LK hot path.
 
-``pallas_local_warp`` — the bilinear warp that dominates dense LK's cost.
+Two kernels built on the same locality trick:
 
-The XLA path (ops/warp.py shift_select_warp) must branch over every integer
-displacement in a *static* bound (2*(R+1) masked shifted adds per axis,
-R=32 at level 0) because XLA cannot do data-dependent addressing.  Pallas
-can: flow is spatially smooth, so per (16 x 384) tile this kernel
+``pallas_local_warp`` — the bilinear warp alone.  The XLA path
+(ops/warp.py shift_select_warp) must branch over every integer displacement
+in a *static* bound (2*(R+1) masked shifted adds per axis, R=32 at level 0)
+because XLA cannot do data-dependent addressing — and XLA fully unrolls the
+loop, so program size scales with the array (2.2 GB executable at 2176x1920,
+measured).  Pallas can address data-dependently: flow is spatially smooth, so
+per tile the kernel (1) picks a reference displacement (the tile-center
+flow), (2) DMAs the source window at that dynamic offset from HBM, (3)
+selects only over the ±local residual range.
 
-  1. reduces the tile's mean integer displacement (dy0, dx0),
-  2. DMAs the source window at that *dynamic* offset from HBM
-     (next[y0+dy0-L : ..., x0+dx0-L : ...]),
-  3. selects only over the residual range |v - v_mean| <= L (L=8 static)
-     with the same separable two-pass bilinear blend.
+``pallas_fused_lk_iter`` — one whole inverse-compositional dense-LK iteration
+per tile: the warp above on a +8-halo extended region, the residual
+r = jw - prev - gI.v, the two 15x15 box sums of gI*r, the A.v correction and
+the 2x2 solve — all in VMEM, writing only the updated flow.  The XLA pipeline
+round-trips ~10 full-frame arrays through HBM per iteration; this kernel
+reads 6 windows and writes 2 tiles.
 
-Cost per pixel drops from 2*2*(R+1) masked terms to 2*2*(L+1) — ~4x fewer
-vector ops at R=32 — and the gather never touches XLA's pathological
-one-element-DMA path.  Residual displacement beyond L clamps toward the tile
-mean (same failure mode as the XLA path's global clamp, but localized; flow
-smoothness makes it rare — tests assert parity with the XLA warp on smooth
-fields and EPE on real LK solves).
+Mosaic rules encoded here (each one measured the hard way):
+* DMA slice offsets/shapes must be (8, 128)-aligned and *provably* so
+  (pl.multiple_of) — align down, fold the row remainder into the vertical
+  select range, undo the column remainder with a dynamic lane roll;
+* the dynamic roll is only correct for power-of-two lane-group counts
+  (640/768 lanes rotate off by (groups-2)*128) — window widths round up to
+  a power of two;
+* float iota is rejected (int iota + astype);
+* jnp.pad(mode='edge') does not lower (broadcast+concat instead).
 """
 
 from __future__ import annotations
@@ -30,9 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 16
+TILE_H = 64
 TILE_W = 384
-LOCAL = 8  # static residual displacement range around the tile mean
+LOCAL = 8  # static residual displacement range around the tile reference
 
 
 def _pow2_lanes(n: int) -> int:
@@ -62,40 +71,26 @@ def pick_tile_w(w: int) -> tuple[int, int]:
     return 128, padded                   # minimal pad, narrow tiles
 
 
-def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
-                 *, h, w, pad, max_disp, tile_h, tile_w, local):
-    # next_hbm is the (h + 2*pad, w + 2*pad) edge-padded image with
-    # pad = max_disp + local + 1, so the DMA window below always fits
-    # without clamping for |mean displacement| <= max_disp.
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    y0 = ti * tile_h
-    x0 = tj * tile_w
-    fx = fx_ref[:]
-    fy = fy_ref[:]
+def _win_shape(th: int, tw: int, local: int) -> tuple[int, int]:
+    sh = -(-(th + 2 * local + 8) // 8) * 8
+    sw = _pow2_lanes(tw + 2 * local + 1 + 127)
+    return sh, sw
 
-    # Mosaic requires DMA slice offsets/shapes aligned to the (8, 128) f32
-    # tiling.  Rows: align down to 8 and widen the vertical select range by
-    # the 0..7 remainder.  Columns: align down to 128 and rotate the window
-    # left by the 0..127 remainder after the copy (dynamic lane roll).
-    # The dynamic roll is only correct for power-of-two lane-group counts
-    # (measured: 640/768 lanes rotate off by (groups-2)*128), so sw rounds
-    # up to a power-of-two multiple of 128.
-    sh = -(-(tile_h + 2 * local + 8) // 8) * 8
-    sw = _pow2_lanes(tile_w + 2 * local + 1 + 127)
+
+def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
+               *, h, w, pad, max_disp, th, tw, local, ref_cy, ref_cx):
+    """Warp a (th, tw) region whose top-left is global (y0, x0).
+
+    next_hbm: (h + 2*pad, w + 2*pad) edge-padded image in HBM.  fx/fy: flow
+    on the region.  Reference displacement read at (ref_cy, ref_cx).  Returns
+    the warped (th, tw) block; residual displacement beyond ±local of the
+    reference clamps.
+    """
+    sh, sw = _win_shape(th, tw, local)
     bound = jnp.float32(max_disp)
 
-    # Reference displacement for the tile: the center pixel's flow.  More
-    # robust than the tile mean when part of the tile is frame padding or a
-    # flow discontinuity (measured: mean-skew at padded tiles cost ~0.2 px
-    # EPE near seams).
-    cy, cx = tile_h // 2, tile_w // 2
-    dy0 = jnp.round(
-        jnp.clip(fy[cy, cx], -bound, bound)
-    ).astype(jnp.int32)
-    dx0 = jnp.round(
-        jnp.clip(fx[cy, cx], -bound, bound)
-    ).astype(jnp.int32)
+    dy0 = jnp.round(jnp.clip(fy[ref_cy, ref_cx], -bound, bound)).astype(jnp.int32)
+    dx0 = jnp.round(jnp.clip(fx[ref_cy, ref_cx], -bound, bound)).astype(jnp.int32)
     src_y_raw = y0 + pad + dy0 - local
     src_x_raw = x0 + pad + dx0 - local
     # multiple_of: Mosaic must *prove* tile-aligned DMA offsets; without the
@@ -106,17 +101,12 @@ def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
     extra_x = src_x_raw - src_x        # 0..127, undone by the roll below
 
     dma = pltpu.make_async_copy(
-        next_hbm.at[pl.ds(src_y, sh), pl.ds(src_x, sw)],
-        scratch,
-        sem,
+        next_hbm.at[pl.ds(src_y, sh), pl.ds(src_x, sw)], scratch, sem
     )
     dma.start()
 
-    # local float source coords relative to the scratch window
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
     # global sample position clamped to the frame (edge-clamp semantics)
     gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
     gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
@@ -137,36 +127,44 @@ def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
     # undo the column alignment: rotate window left by extra_x lanes
     win = pltpu.roll(scratch[:], shift=-extra_x, axis=1)
 
-    vw = tile_w + 2 * local + 1   # columns the horizontal pass consumes
+    vw = tw + 2 * local + 1   # columns the horizontal pass consumes
 
     def widen(a):
-        # extend (tile_h, tile_w) -> (tile_h, vw) replicating the last column
-        # (jnp.pad edge-mode does not lower in Mosaic)
-        tail = jnp.broadcast_to(a[:, tile_w - 1:tile_w], (tile_h, vw - tile_w))
+        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, vw - tw))
         return jnp.concatenate([a, tail], axis=1)
 
     # vertical pass; rel_y spans [0, 2*local + 7] (the +7 from row alignment).
-    # sel is only defined on tile columns; halo columns reuse the edge
-    # column's selection — the horizontal pass only reads column c + dxi(c)
-    # for output column c, where rel_y's column mismatch is the same
-    # second-order flow-Jacobian term the separable XLA warp has.
-    acc0 = jnp.zeros((tile_h, vw), jnp.float32)
-    acc1 = jnp.zeros((tile_h, vw), jnp.float32)
+    # Halo columns reuse the edge column's selection — the horizontal pass
+    # only reads column c + dxi(c) for output column c, where rel_y's column
+    # mismatch is the same second-order flow-Jacobian term as the separable
+    # XLA warp's.
+    acc0 = jnp.zeros((th, vw), jnp.float32)
+    acc1 = jnp.zeros((th, vw), jnp.float32)
     for d in range(2 * local + 8):
         sel_w = widen((dyi == d).astype(jnp.float32))
-        acc0 = acc0 + sel_w * win[d:d + tile_h, :vw]
-        acc1 = acc1 + sel_w * win[d + 1:d + 1 + tile_h, :vw]
+        acc0 = acc0 + sel_w * win[d:d + th, :vw]
+        acc1 = acc1 + sel_w * win[d + 1:d + 1 + th, :vw]
     fy_w = widen(fy_frac)
-    vert = acc0 + fy_w * (acc1 - acc0)   # (tile_h, vw)
+    vert = acc0 + fy_w * (acc1 - acc0)   # (th, vw)
 
-    # horizontal pass
-    o0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-    o1 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    o0 = jnp.zeros((th, tw), jnp.float32)
+    o1 = jnp.zeros((th, tw), jnp.float32)
     for d in range(2 * local + 1):
         sel = (dxi == d).astype(jnp.float32)
-        o0 = o0 + sel * vert[:, d:d + tile_w]
-        o1 = o1 + sel * vert[:, d + 1:d + 1 + tile_w]
-    out_ref[:] = o0 + fx_frac * (o1 - o0)
+        o0 = o0 + sel * vert[:, d:d + tw]
+        o1 = o1 + sel * vert[:, d + 1:d + 1 + tw]
+    return o0 + fx_frac * (o1 - o0)
+
+
+def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
+                 *, h, w, pad, max_disp, tile_h, tile_w, local):
+    y0 = pl.program_id(0) * tile_h
+    x0 = pl.program_id(1) * tile_w
+    out_ref[:] = _warp_core(
+        next_hbm, fx_ref[:], fy_ref[:], y0, x0, scratch, sem,
+        h=h, w=w, pad=pad, max_disp=max_disp, th=tile_h, tw=tile_w,
+        local=local, ref_cy=tile_h // 2, ref_cx=tile_w // 2,
+    )
 
 
 def pallas_local_warp(
@@ -176,12 +174,11 @@ def pallas_local_warp(
     """out(p) = next(p + clamp(flow(p), ±max_disp)) bilinear.
 
     H % tile_h == 0 and W % tile_w == 0 required (flow.dense pads).
-    Per-tile residual displacement beyond ±local of the tile mean clamps.
+    Per-tile residual displacement beyond ±local of the reference clamps.
     """
     h, w = next_img.shape
     assert h % tile_h == 0 and w % tile_w == 0, (h, w)
-    sh = -(-(tile_h + 2 * local + 8) // 8) * 8
-    sw = _pow2_lanes(tile_w + 2 * local + 1 + 127)
+    sh, sw = _win_shape(tile_h, tile_w, local)
     # pad generously: alignment can move the window down/right by up to the
     # rounding slack, and the aligned window shape exceeds the logical one
     pad = max_disp + local + 1 + max(sh, sw - tile_w)
@@ -210,3 +207,176 @@ def pallas_local_warp(
         ],
     )(padded, flow[..., 0].astype(jnp.float32),
       flow[..., 1].astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Fused inverse-compositional LK iteration
+# ---------------------------------------------------------------------------
+
+_HALO = 8  # rows/cols of halo the box sums need around a tile (win 15 -> ±7)
+
+
+def _fused_kernel(
+    next_hbm, static_hbm, flow_hbm,
+    a11_ref, a12_ref, a22_ref, invd_ref, valid_ref,
+    fx_out, fy_out,
+    win_scratch, ext_scratch, flow_scratch, sems,
+    *, h, w, pad, ext_pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    eth = tile_h + 2 * _HALO          # extended rows (halo for box sums)
+    # DMA width must itself be a 128 multiple (Mosaic slice-shape rule)
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    etw = tile_w + 2 * _HALO          # columns actually used
+
+    # --- fetch the extended windows: one stacked DMA for the static arrays
+    # (prev, ix, iy) and one for the per-iteration flow (fx, fy).  Separate
+    # DMAs serialize their latencies (measured); stacking amortizes them.
+    row0 = pl.multiple_of(y0 + ext_pad - _HALO, 8)
+    col0 = pl.multiple_of(x0, 128)
+    dma_s = pltpu.make_async_copy(
+        static_hbm.at[:, pl.ds(row0, eth), pl.ds(col0, etw_dma)],
+        ext_scratch, sems.at[0],
+    )
+    dma_f = pltpu.make_async_copy(
+        flow_hbm.at[:, pl.ds(row0, eth), pl.ds(col0, etw_dma)],
+        flow_scratch, sems.at[1],
+    )
+    dma_s.start()
+    dma_f.start()
+    dma_f.wait()
+
+    c0 = 128 - _HALO                  # work-region column offset in the DMA
+    fx_w = flow_scratch[0, :, c0:c0 + etw]
+    fy_w = flow_scratch[1, :, c0:c0 + etw]
+
+    # --- warp the extended region (its DMA overlaps the static wait) -------
+    jw = _warp_core(
+        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[2],
+        h=h, w=w, pad=pad, max_disp=max_disp, th=eth, tw=etw, local=local,
+        ref_cy=eth // 2, ref_cx=etw // 2,
+    )
+    dma_s.wait()
+    prev_w = ext_scratch[0, :, c0:c0 + etw]
+    ix_w = ext_scratch[1, :, c0:c0 + etw]
+    iy_w = ext_scratch[2, :, c0:c0 + etw]
+
+    # --- IC residual + gradient products ------------------------------------
+    r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
+    px = ix_w * r
+    py = iy_w * r
+
+    # --- 15x15 box sums to the tile region ----------------------------------
+    # work row 8+r == tile row r; window offsets 1..15 stay in [0, eth).
+    def boxsum(p):
+        v = None
+        for d in range(win_k):
+            t = p[1 + d:1 + d + tile_h, :]
+            v = t if v is None else v + t
+        out = None
+        for d in range(win_k):
+            t = v[:, 1 + d:1 + d + tile_w]
+            out = t if out is None else out + t
+        return out
+
+    b1 = boxsum(px)
+    b2 = boxsum(py)
+
+    # --- A.v correction + solve ---------------------------------------------
+    fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    a11 = a11_ref[:]
+    a12 = a12_ref[:]
+    a22 = a22_ref[:]
+    invd = invd_ref[:]
+    valid = valid_ref[:]
+    b1 = b1 + a11 * fx_t + a12 * fy_t
+    b2 = b2 + a12 * fx_t + a22 * fy_t
+    du = (a12 * b2 - a22 * b1) * invd
+    dv = (a12 * b1 - a11 * b2) * invd
+    bound = jnp.float32(bound_f)
+    fx_out[:] = jnp.clip(fx_t + valid * du, -bound, bound)
+    fy_out[:] = jnp.clip(fy_t + valid * dv, -bound, bound)
+
+
+def make_fused_lk_iter(
+    next_img: jnp.ndarray,
+    prev_img: jnp.ndarray,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
+    a11: jnp.ndarray,
+    a12: jnp.ndarray,
+    a22: jnp.ndarray,
+    inv_det: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_disp: int = 32,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    local: int = LOCAL,
+    win_k: int = 15,
+):
+    """Build iter_fn(flow) -> flow running one fused IC dense-LK iteration.
+
+    Loop-invariant inputs (padded next, stacked prev/ix/iy windows, structure
+    tensor) are prepared once here; only the flow restacks per call.
+    All arrays (H, W); H % tile_h == 0, W % tile_w == 0 (flow.dense pads).
+    """
+    h, w = next_img.shape
+    assert h % tile_h == 0 and w % tile_w == 0, (h, w)
+    assert tile_h % 8 == 0 and _HALO == 8
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    sh, sw = _win_shape(eth, etw, local)
+    pad = max_disp + local + 1 + max(sh, sw - etw)
+    next_pad = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
+
+    ext_pad = _HALO  # row padding of the windowed inputs
+
+    def pad_ext(x):
+        # right col pad 256: the 128-rounded DMA width may overrun 128+halo
+        return jnp.pad(x.astype(jnp.float32), ((ext_pad, ext_pad), (128, 256)),
+                       mode="edge")
+
+    static_stack = jnp.stack(
+        [pad_ext(prev_img), pad_ext(ix), pad_ext(iy)]
+    )
+    grid = (h // tile_h, w // tile_w)
+    kernel = functools.partial(
+        _fused_kernel, h=h, w=w, pad=pad, ext_pad=ext_pad, max_disp=max_disp,
+        tile_h=tile_h, tile_w=tile_w, local=local, win_k=win_k,
+        bound_f=float(max_disp),
+    )
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((h, w), jnp.float32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        + [tile_spec] * 5,
+        out_specs=(tile_spec, tile_spec),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((3, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((2, eth, etw_dma), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    validf = valid.astype(jnp.float32)
+
+    def iter_fn(flow: jnp.ndarray) -> jnp.ndarray:
+        flow_stack = jnp.stack(
+            [pad_ext(flow[..., 0]), pad_ext(flow[..., 1])]
+        )
+        fx_new, fy_new = call(
+            next_pad, static_stack, flow_stack,
+            a11, a12, a22, inv_det, validf,
+        )
+        return jnp.stack([fx_new, fy_new], axis=-1)
+
+    return iter_fn

@@ -33,7 +33,7 @@ def box_sum(
     pad_h = ((win_h - 1) // 2, win_h // 2)
     pad_w = ((win_w - 1) // 2, win_w // 2)
     x = x.astype(jnp.float32)
-    mode = {"zero": "constant", "reflect": "reflect"}[border]
+    mode = {"zero": "constant", "reflect": "reflect", "edge": "edge"}[border]
 
     def axis_sum(a: jnp.ndarray, k: int, pad, axis: int) -> jnp.ndarray:
         pads = [(0, 0)] * a.ndim

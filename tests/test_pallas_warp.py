@@ -55,6 +55,31 @@ class TestPallasLocalWarp:
         # second-order separable error only (same class as the XLA 2-pass)
         assert d.max() < 0.05, d.max()
 
+    def test_fused_iter_matches_xla_body(self, rng):
+        """One fused IC iteration == the XLA iteration in the interior."""
+        import cv2 as cv
+
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow.dense import dense_lk_level
+
+        h, w = 128, 384
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        m = np.float32([[1, 0, 2.0], [0, 1, 1.5]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        flow0 = jnp.zeros((h, w, 2), jnp.float32)
+        ref = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                             LKConfig(), DenseLKConfig(outer_iters=1),
+                             max_disp=8).flow
+        fused = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                               LKConfig(),
+                               DenseLKConfig(outer_iters=1,
+                                             use_pallas_fused=True),
+                               max_disp=8).flow
+        d = np.abs(np.asarray(ref) - np.asarray(fused))
+        assert d[16:-16, 16:-16].max() < 1e-3, d[16:-16, 16:-16].max()
+
     def test_residual_clamp_behavior(self, rng):
         """Flow deviating more than `local` from the tile reference clamps."""
         h, w = 16, 384
@@ -62,7 +87,7 @@ class TestPallasLocalWarp:
         flow = np.zeros((h, w, 2), np.float32)
         flow[0, 0, 0] = 20.0   # outlier vs tile reference ~0
         out = np.asarray(pk.pallas_local_warp(jnp.asarray(img),
-                                              jnp.asarray(flow)))
+                                              jnp.asarray(flow), tile_h=16))
         # clamped to local range (8 + fractional margin), not 20
         assert out[0, 0] <= 17.0
         # non-outlier pixels exact
