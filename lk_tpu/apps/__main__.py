@@ -2,7 +2,7 @@
 
 import sys
 
-APPS = ("final", "vp_detect", "classify", "masking", "roadlines")
+APPS = ("final", "vp_detect", "classify", "masking", "roadlines", "serve")
 
 
 def main():

@@ -25,6 +25,43 @@ from lk_tpu.pipeline.state import (
 from lk_tpu.pipeline.step import make_step, preprocess_frame
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
+    """One compiled runner per (config, geometry) — N same-shape streams
+    (the serving case) share a single executable instead of re-jitting
+    per VideoPipeline instance."""
+    run_chunk, init_fn, masks = make_chunk_runner(cfg, frame_size)
+    import jax as _jax
+
+    return _jax.jit(run_chunk), _jax.jit(init_fn), masks
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_preprocess(cfg: PipelineConfig, out_h: int, out_w: int):
+    import jax as _jax
+
+    return _jax.jit(lambda f: preprocess_frame(f, cfg, out_h, out_w))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_finish(cfg: PipelineConfig):
+    import jax as _jax
+
+    from lk_tpu.ops.blur import gaussian_blur3
+    from lk_tpu.ops.tone import contrast_brightness
+
+    def _finish(g):
+        g = g.astype(jnp.float32)
+        if cfg.contrast_enhance:
+            g = contrast_brightness(g)
+        return gaussian_blur3(g)
+
+    return _jax.jit(_jax.vmap(_finish))
+
+
 def make_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
     """Returns (run_chunk, init_fn, masks) for processed-gray frame chunks.
 
@@ -61,19 +98,23 @@ class VideoPipeline:
         cfg: PipelineConfig,
         src_size: Tuple[int, int],          # (W, H) of raw frames
         chunk: int = 8,
+        host_preprocess: bool = False,
     ):
         self.cfg = cfg
         self.src_w, self.src_h = src_size
         self.height = cfg.derived_height(self.src_h, self.src_w)
         self.width = cfg.width
         self.chunk = chunk
-        self.run_chunk, self.init_fn, self.masks = make_chunk_runner(
+        # host_preprocess: convert+resize on the host and upload small u8
+        # grays instead of raw BGR — 6.7x less host->device traffic (the
+        # axon tunnel measures ~36 MB/s) and u8-rounded resize exactly like
+        # the reference's cv2 path.
+        self.host_preprocess = host_preprocess
+        self._run_jit, self.init_fn, self.masks = _cached_runner(
             cfg, (self.width, self.height)
         )
-        self._run_jit = jax.jit(self.run_chunk)
-        self._pre_jit = jax.jit(
-            lambda f: preprocess_frame(f, cfg, self.height, self.width)
-        )
+        self._pre_jit = _cached_preprocess(cfg, self.height, self.width)
+        self._finish_jit = _cached_finish(cfg)
         self.state: Optional[PipelineState] = None
         self.csv_rows: List[Tuple[float, float]] = []
         self.segments: List[dict] = []
@@ -102,6 +143,17 @@ class VideoPipeline:
         return save_state(self.state, path)
 
     def _ingest(self, frames_u8: np.ndarray) -> jnp.ndarray:
+        if self.host_preprocess:
+            import cv2 as cv
+
+            grays = np.empty(
+                (len(frames_u8), self.height, self.width), np.uint8
+            )
+            for k, f in enumerate(frames_u8):
+                g = cv.cvtColor(np.asarray(f), cv.COLOR_BGR2GRAY)
+                grays[k] = cv.resize(g, (self.width, self.height),
+                                     interpolation=cv.INTER_AREA)
+            return self._finish_jit(jnp.asarray(grays))
         x = jnp.asarray(frames_u8)
         return jax.vmap(self._pre_jit)(x) if x.ndim == 4 else self._pre_jit(x)
 

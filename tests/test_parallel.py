@@ -81,16 +81,19 @@ def test_halo_exchange_values(mesh):
 
 
 def test_stream_sharded_pipeline_runs(mesh):
+    """16 concurrent streams of the full VP pipeline sharded over the data
+    axis (BASELINE.json config #5's shape, at test-friendly frame size)."""
     cfg = PipelineConfig()
     w, h = 256, 144
     run_batch, init_batch, shard_frames = shard_pipeline_step(
         mesh, cfg, (w, h)
     )
-    b, t = 4, 3
+    b, t = 16, 3
     rng = np.random.default_rng(0)
     frames = (rng.random((b, t + 1, h, w)) * 255).astype(np.float32)
     first = jnp.asarray(frames[:, 0])
     states = init_batch(first)
     states, outs = run_batch(states, jnp.asarray(frames[:, 1:]))
     assert outs.show_mask.shape == (b, t)
+    assert outs.motion_fracs.shape == (b, t, 4)
     assert states.prev_gray.shape == (b, h, w)
