@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from lk_tpu.apps._common import build_parser, open_frames, video_name_of
+from lk_tpu.apps._common import build_parser, open_frames
 from lk_tpu.config import FeatureConfig
 from lk_tpu.models import MASKING
 from lk_tpu.ops.blur import gaussian_blur3

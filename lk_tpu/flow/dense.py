@@ -58,7 +58,7 @@ from lk_tpu.ops.blur import pyr_down
 from lk_tpu.ops.boxfilter import box_sum
 from lk_tpu.ops.gradients import scharr_derivatives
 from lk_tpu.ops.warp import shift_select_warp
-from lk_tpu.ops.resize import resize_linear, upsample2_linear
+from lk_tpu.ops.resize import upsample2_linear
 
 # OpenCV's fixed-point A-matrix is ours/1024 (see flow/sparse.py); its default
 # minEigThreshold of 1e-4 maps to this on the normalized-gradient scale.

@@ -9,7 +9,6 @@ side only does a wait-free copy per batch.
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
 from typing import Optional
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from lk_tpu.config import LKConfig, FeatureConfig, PipelineConfig, ROIConfig
+from lk_tpu.config import LKConfig, FeatureConfig, PipelineConfig
 
 FINAL = PipelineConfig()  # defaults mirror LK_Final
 

@@ -2,15 +2,15 @@
 
 OpenCV's LK window is an unweighted box (winSize=(15,15), reference
 LK_Final.py:94).  For the dense flow path we need box-filtered sums of
-gradient products over the whole frame; ``jax.lax.reduce_window`` lowers to an
-efficient fused TPU reduction, and XLA fuses the elementwise products into it.
+gradient products over the whole frame, written as two separable shifted-add
+passes (XLA does not separate NxN reduce_window windows — the naive form
+costs win_h*win_w adds per pixel and dominated the dense-LK frame time).
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 

@@ -11,12 +11,9 @@ halos move over ICI with jax.lax.ppermute inside shard_map (SURVEY.md §2.5,
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from lk_tpu.config import DenseLKConfig, LKConfig

@@ -169,7 +169,18 @@ def make_step(
         trigger = (
             live < jnp.int32(cfg.tp_num * cfg.tp_update_rate)
         ) | (state.tp_ult == cfg.tp_update_time)
-        det_pts, det_valid = detect(gray)
+        # lax.cond executes only the taken branch: detection (response map +
+        # 4 greedy selections, ~1 ms) runs only on replenish frames instead
+        # of every frame.
+        det_pts, det_valid = jax.lax.cond(
+            trigger,
+            lambda gg: detect(gg),
+            lambda gg: (
+                jnp.zeros((g, s, 2), jnp.float32),
+                jnp.zeros((g, s), jnp.bool_),
+            ),
+            gray,
+        )
         group_nonempty = jnp.any(det_valid, axis=1)
         if cfg.fl_upd_meth == "REP":
             do_rep = trigger & jnp.all(group_nonempty)
