@@ -18,6 +18,19 @@ from typing import Iterable, List, Sequence, Tuple
 import numpy as np
 
 
+def save_object(obj, filename: str) -> str:
+    """Generic pickle dump (reference save_object, LK_Final.py:375-377)."""
+    with open(filename, "wb") as f:
+        pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)
+    return filename
+
+
+def read_object(filename: str):
+    """Generic pickle load (reference read_object, LK_Final.py:379-382)."""
+    with open(filename, "rb") as f:
+        return pickle.load(f)
+
+
 def save_vp_csv(rows: Sequence[Tuple[float, float]], name: str,
                 out_dir: str = "./vps") -> str:
     os.makedirs(out_dir, exist_ok=True)
