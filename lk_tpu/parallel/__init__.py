@@ -14,6 +14,7 @@ Tensor/pipeline/expert parallelism have no counterpart in this workload
 the capability matrix is explicit.
 """
 
+from lk_tpu.parallel.auto import sharded_dense_pyramidal_lk  # noqa: F401
 from lk_tpu.parallel.mesh import make_mesh, stream_sharding  # noqa: F401
 from lk_tpu.parallel.spatial import (  # noqa: F401
     halo_exchange,

@@ -97,3 +97,26 @@ def test_stream_sharded_pipeline_runs(mesh):
     assert outs.show_mask.shape == (b, t)
     assert outs.motion_fracs.shape == (b, t, 4)
     assert states.prev_gray.shape == (b, h, w)
+
+
+def test_gspmd_auto_sharded_pyramidal(mesh, rng):
+    """Full pyramidal dense LK auto-partitioned by GSPMD over row shards
+    matches the single-device result (XLA inserts the halo collectives)."""
+    import cv2 as cv
+
+    from lk_tpu.flow.dense import dense_pyramidal_lk
+    from lk_tpu.parallel import make_mesh as mk, sharded_dense_pyramidal_lk
+
+    m8 = mk(shape=(1, 8), axis_names=("data", "spatial"))
+    h, w = 256, 384
+    img = (rng.random((h, w)) * 255).astype(np.float32)
+    img = cv.GaussianBlur(img, (0, 0), 2.0)
+    aff = np.float32([[1, 0, 3.0], [0, 1, 2.0]])
+    nxt = cv.warpAffine(img, aff, (w, h), flags=cv.INTER_LINEAR,
+                        borderMode=cv.BORDER_REFLECT_101)
+    run = sharded_dense_pyramidal_lk(m8)
+    flow = np.asarray(run(jnp.asarray(img), jnp.asarray(nxt)))
+    ref = np.asarray(
+        dense_pyramidal_lk(jnp.asarray(img), jnp.asarray(nxt)).flow
+    )
+    np.testing.assert_allclose(flow, ref, atol=5e-3)  # fp reduction-order noise
