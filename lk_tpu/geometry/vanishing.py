@@ -121,6 +121,15 @@ def process_frame_pairs(
     rate = jnp.float32(cfg.vp_update_rate)
     s_clip = jnp.float32(cfg.max_cp_std)
 
+    # Compact the statically-rejectable pairs away so the sequential part
+    # (the only data-dependent stage) walks just the candidates — typically a
+    # fraction of the P=190 pairs.  Stable order preserves the reference's
+    # combinations sequence among survivors.
+    order = jnp.argsort(~cand, stable=True)
+    cps_c = cps[order]
+    cand_c = cand[order]
+    n_cand = jnp.sum(cand)
+
     def body(st: VPState, inp):
         cp, ok = inp
         close = jnp.all(jnp.abs(st.vp_xy - cp) < bound)
@@ -187,8 +196,22 @@ def process_frame_pairs(
         out = (vp_xy, do_update, cp, accept)
         return new_st, out
 
-    state2, (rows, row_mask, cp_out, cp_mask) = jax.lax.scan(
-        body, state, (cps, cand)
+    def while_body(carry):
+        i, st, rows, row_mask, cp_out, cp_mask = carry
+        st, (vp_xy, did, cp, acc) = body(st, (cps_c[i], cand_c[i]))
+        rows = rows.at[i].set(vp_xy)
+        row_mask = row_mask.at[i].set(did)
+        cp_out = cp_out.at[i].set(cp)
+        cp_mask = cp_mask.at[i].set(acc)
+        return i + 1, st, rows, row_mask, cp_out, cp_mask
+
+    init = (
+        jnp.int32(0), state,
+        jnp.zeros((p, 2), jnp.float32), jnp.zeros((p,), jnp.bool_),
+        jnp.zeros((p, 2), jnp.float32), jnp.zeros((p,), jnp.bool_),
+    )
+    _, state2, rows, row_mask, cp_out, cp_mask = jax.lax.while_loop(
+        lambda c: c[0] < n_cand, while_body, init
     )
     out = FrameGeomOut(
         update_rows=rows, update_mask=row_mask,
