@@ -73,23 +73,17 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
     if args.resume:
         pipe.resume_from(args.resume)
     t0 = time.time()
-    buf = []
-    n_done = 0
-    frames_iter = iter(stream)
     raw_frames = []
-    for f in frames_iter:
-        if args.frames is not None and n_done >= args.frames:
-            break
-        buf.append(f)
-        n_done += 1
-        if args.write_video:
-            raw_frames.append(f)
-        if len(buf) >= args.chunk + (1 if pipe.state is None else 0):
-            pipe.feed(np.stack(buf))
-            buf.clear()
-    if buf:
-        pipe.feed(np.stack(buf))
-    pipe.drain()
+
+    def limited():
+        for n_done, f in enumerate(stream):
+            if args.frames is not None and n_done >= args.frames:
+                return
+            if args.write_video:
+                raw_frames.append(f)
+            yield f
+
+    pipe.run(limited())
     dt = time.time() - t0
 
     name = video_name_of(args)
@@ -148,16 +142,15 @@ def overlay_video(pipe: VideoPipeline, cfg: PipelineConfig, raw_frames,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     out = cv.VideoWriter(path, cv.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
     draw_mask = np.zeros((h, w, 3), np.uint8)
-    rows = iter(pipe.csv_rows)
-    vp_xy = None
+    # vp_per_frame is exactly one entry per processed frame (None while the
+    # VP is hidden); csv_rows would drift — it holds a row per *update* too.
+    # The first raw frame only initializes (never processed): no VP for it.
+    vps = iter([None] + pipe.vp_per_frame)
     for f in raw_frames:
         frame = cv.resize(f, (w, h), interpolation=cv.INTER_AREA)
         frame = cv.polylines(frame, [poly], True, (0, 0, 100), 2)
         frame = cv.circle(frame, (w // 2, h // 2), 6, (0, 0, 255), -1)
-        try:
-            vp_xy = next(rows)
-        except StopIteration:
-            pass
+        vp_xy = next(vps, None)
         if vp_xy is not None and np.isfinite(vp_xy).all():
             frame = cv.circle(frame, (int(vp_xy[0]), int(vp_xy[1])), 6,
                               (0, 255, 100), -1)

@@ -51,20 +51,15 @@ def main(argv=None):
     frames = [np.stack([sc.frame(t) for t in range(args.frames)])
               for sc in scenes]
 
-    # warm/compile on stream 0
-    pipes[0].feed(frames[0][: args.chunk + 1])
+    # warm/compile outside the timed window with a throwaway pipeline
+    warm = VideoPipeline(cfg, src_size=(args.width, args.height),
+                         chunk=args.chunk, host_preprocess=True)
+    warm.run(iter(frames[0][: args.chunk + 1]))
 
     t0 = time.time()
-    done = pipes[0].frames_done
-    for chunk_start in range(args.chunk + 1, args.frames, args.chunk):
-        pipes[0].feed(frames[0][chunk_start:chunk_start + args.chunk])
-    for s in range(1, args.streams):
-        for chunk_start in range(0, args.frames, args.chunk):
-            n = args.chunk + (1 if pipes[s].state is None else 0)
-            pipes[s].feed(frames[s][chunk_start:chunk_start + n])
-    for pipe in pipes:
-        pipe.drain()
-    total = sum(p_.frames_done for p_ in pipes) - done
+    for s in range(args.streams):
+        pipes[s].run(iter(frames[s]))   # run() owns the +1 init bookkeeping
+    total = sum(p_.frames_done for p_ in pipes)
     dt = time.time() - t0
 
     ok = sum(1 for p_ in pipes if len(p_.csv_rows) > 0)

@@ -222,18 +222,20 @@ def dense_pyramidal_lk_batched(
         for lv in range(top + 1)
     )
     mult = 1 << top
+    # Per-frame height must be divisible by 2**max_level so decimation keeps
+    # frames aligned: pad h itself up to the multiple (an odd h can never be
+    # fixed by growing an integer guard), then use a multiple-of-mult guard.
+    h_pad = -(-h // mult) * mult
     g = -(-need // mult) * mult
-    while (h + 2 * g) % mult:
-        g += 1
 
     def fold(x):
-        xp = jnp.pad(x, ((0, 0), (g, g), (0, 0)), mode="edge")
-        return xp.reshape(b * (h + 2 * g), w)
+        xp = jnp.pad(x, ((0, 0), (g, g + (h_pad - h)), (0, 0)), mode="edge")
+        return xp.reshape(b * (h_pad + 2 * g), w)
 
     folded = dense_pyramidal_lk(fold(prev), fold(next_), cfg,
                                 dense_cfg=dense_cfg)
-    flow = folded.flow.reshape(b, h + 2 * g, w, 2)
-    return flow[:, g:-g]
+    flow = folded.flow.reshape(b, h_pad + 2 * g, w, 2)
+    return flow[:, g:g + h]
 
 
 def _upsample_flow(flow: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:

@@ -113,7 +113,6 @@ def _track_one_level(
     good_g = (min_eig >= cfg.min_eig_threshold * 1024.0) & (det > 1e-7)
     inv_det = jnp.where(det > 1e-7, 1.0 / det, 0.0)
 
-    lost_here = (~prev_inside) & status
     status = jnp.where(is_level0, status & prev_inside & good_g, status)
     do_refine = prev_inside & good_g
 
@@ -173,7 +172,6 @@ def _track_one_level(
     status = jnp.where(
         is_level0, status & (next_inside_final | ~do_refine), status
     )
-    del lost_here
     return next_pt, status, (p_win, a11, a12, a22)
 
 

@@ -87,10 +87,10 @@ class RawFrameReader:
         got = min(n, self.nframes - self._pos)
         chunk = np.asarray(self._np[self._pos:self._pos + got])
         self._pos += got
-        if self.width * getattr(self, "downscale", 1) != chunk.shape[2]:
-            pass
         if getattr(self, "downscale", 1) == 2:
-            c = chunk.astype(np.uint16)
+            # truncate odd dims first (matches the native path's floor-half
+            # output size; ceil/floor mixing breaks the 2x2 average)
+            c = chunk[:, : self.height * 2, : self.width * 2].astype(np.uint16)
             c = (c[:, ::2, ::2] + c[:, 1::2, ::2] + c[:, ::2, 1::2]
                  + c[:, 1::2, 1::2] + 2) >> 2
             chunk = c.astype(np.uint8)

@@ -120,6 +120,7 @@ class VideoPipeline:
         self.segments: List[dict] = []
         self.cross_points: List[Tuple[float, float]] = []
         self.motion_rows: List[Tuple[float, ...]] = []
+        self.vp_per_frame: List[Optional[Tuple[float, float]]] = []
         self.frames_done = 0
         self._pending_resume: Optional[str] = None
         self._pending_outs: List[FrameOutputs] = []
@@ -161,15 +162,19 @@ class VideoPipeline:
         """Process (T, Hs, Ws, 3) u8 BGR frames; returns stacked outputs."""
         grays = self._ingest(frames_u8)
         if self.state is None:
-            self.state = self.init_fn(grays[0])
             if self._pending_resume is not None:
+                # Restore the full state (incl. prev_gray): every fed frame
+                # is then processed — none is consumed for initialization.
                 from lk_tpu.utils.checkpoint import load_state
 
-                self.state = load_state(self.state, self._pending_resume)
+                template = self.init_fn(grays[0])
+                self.state = load_state(template, self._pending_resume)
                 self._pending_resume = None
-            grays = grays[1:]
-            if grays.shape[0] == 0:
-                return None
+            else:
+                self.state = self.init_fn(grays[0])
+                grays = grays[1:]
+                if grays.shape[0] == 0:
+                    return None
         self.state, outs = self._run_jit(self.state, grays)
         # Defer the device->host fetch: dispatch is async, so stashing the
         # handles lets the next chunk's compute overlap this chunk's readback
@@ -206,6 +211,11 @@ class VideoPipeline:
                 self.csv_rows.append(
                     (float(show_rows[k][0]), float(show_rows[k][1]))
                 )
+                self.vp_per_frame.append(
+                    (float(show_rows[k][0]), float(show_rows[k][1]))
+                )
+            else:
+                self.vp_per_frame.append(None)
             for a, b in zip(seg_s[k][seg_m[k]], seg_e[k][seg_m[k]]):
                 self.segments.append(
                     dict(start=a.copy(), stop=b.copy())

@@ -99,3 +99,45 @@ class TestProfiling:
             pass
         assert s.count["a"] == 2
         assert "a" in s.summary()
+
+
+class TestResumeExactness:
+    def test_split_run_matches_continuous(self, tmp_path):
+        """checkpoint at frame k + resume == one uninterrupted run."""
+        from lk_tpu.config import PipelineConfig
+        from lk_tpu.io.video import SyntheticRoadStream
+        from lk_tpu.pipeline.runner import VideoPipeline
+
+        scene = SyntheticRoadStream(width=430, height=242, zoom=1.03,
+                                    seed=11, n_frames=24)
+        frames = [scene.frame(t) for t in range(24)]
+        cfg = PipelineConfig(width=430)
+
+        full = VideoPipeline(cfg, src_size=(430, 242), chunk=4)
+        full.run(iter(frames))
+
+        first = VideoPipeline(cfg, src_size=(430, 242), chunk=4)
+        first.run(iter(frames[:12]))
+        ck = str(tmp_path / "ck.npz")
+        first.save_checkpoint(ck)
+
+        second = VideoPipeline(cfg, src_size=(430, 242), chunk=4)
+        second.resume_from(ck)
+        second.run(iter(frames[12:]))
+
+        joined = first.csv_rows + second.csv_rows
+        assert len(joined) == len(full.csv_rows)
+        np.testing.assert_allclose(
+            np.array(joined), np.array(full.csv_rows), atol=1e-4
+        )
+
+
+def test_batched_dense_odd_height(rng):
+    """Odd frame heights must not hang the guard computation (regression)."""
+    from lk_tpu.config import LKConfig
+    from lk_tpu.flow.dense import dense_pyramidal_lk_batched
+
+    prev = jnp.asarray((rng.random((2, 97, 128)) * 255).astype(np.float32))
+    nxt = jnp.asarray((rng.random((2, 97, 128)) * 255).astype(np.float32))
+    flow = dense_pyramidal_lk_batched(prev, nxt, LKConfig())
+    assert flow.shape == (2, 97, 128, 2)
