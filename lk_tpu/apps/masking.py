@@ -42,29 +42,26 @@ def main(argv=None):
         replenish_below=preset["replenish_below"],
         policy="replace",
     )
-    run_jit = jax.jit(run_chunk)
-
     @jax.jit
     def pre(f):
         return gaussian_blur3(resize_area(bgr_to_gray(f.astype(jnp.float32)),
                                           h, w))
 
-    state = None
     segs = []
-    buf = []
-    n = 0
-    for f in stream:
-        if args.frames is not None and n >= args.frames:
-            break
-        buf.append(f)
-        n += 1
-        if len(buf) >= args.chunk + (1 if state is None else 0):
-            state, segs_out = _feed(run_jit, init, pre, state, buf)
-            segs.extend(segs_out)
-            buf.clear()
-    if buf:
-        state, segs_out = _feed(run_jit, init, pre, state, buf)
-        segs.extend(segs_out)
+
+    def on_outputs(outs):
+        old = np.asarray(outs.old_pts)
+        new_ = np.asarray(outs.new_pts)
+        m = np.asarray(outs.seg_mask)
+        for k in range(old.shape[0]):
+            for a, b in zip(old[k][m[k]], new_[k][m[k]]):
+                segs.append((tuple(a), tuple(b)))
+
+    from lk_tpu.pipeline.tracker import run_tracker_frames
+
+    n = run_tracker_frames(run_chunk, init, lambda fb: jax.vmap(pre)(fb),
+                           stream, args.chunk, max_frames=args.frames,
+                           on_outputs=on_outputs)
 
     if not args.quiet:
         print(f"frames: {n}  segments: {len(segs)}")
@@ -72,24 +69,6 @@ def main(argv=None):
     if not args.quiet:
         print(f"tracks: {args.tracks_png}")
     return segs
-
-
-def _feed(run_jit, init, pre, state, buf):
-    grays = jax.vmap(pre)(jnp.asarray(np.stack(buf)))
-    if state is None:
-        state = init(grays[0])
-        grays = grays[1:]
-        if grays.shape[0] == 0:
-            return state, []
-    state, outs = run_jit(state, grays)
-    old = np.asarray(outs.old_pts)
-    new = np.asarray(outs.new_pts)
-    m = np.asarray(outs.seg_mask)
-    segs = []
-    for k in range(old.shape[0]):
-        for a, b in zip(old[k][m[k]], new[k][m[k]]):
-            segs.append((tuple(a), tuple(b)))
-    return state, segs
 
 
 def _render_tracks(segs, h, w, path):

@@ -51,27 +51,32 @@ def main(argv=None):
         replenish_below=int(n_points * preset["replenish_below_frac"]),
         policy="append",
     )
-    run_jit = jax.jit(run_chunk)
-
     @jax.jit
     def pre(f):
         return gaussian_blur3(resize_area(bgr_to_gray(f.astype(jnp.float32)),
                                           h, w))
 
-    state = None
     lengths, angles = [], []
-    buf = []
-    n = 0
-    for f in stream:
-        if args.frames is not None and n >= args.frames:
-            break
-        buf.append(f)
-        n += 1
-        if len(buf) >= args.chunk + (1 if state is None else 0):
-            state = _feed(run_jit, init, pre, state, buf, lengths, angles)
-            buf.clear()
-    if buf:
-        state = _feed(run_jit, init, pre, state, buf, lengths, angles)
+
+    def on_outputs(outs):
+        old = np.asarray(outs.old_pts)
+        new_ = np.asarray(outs.new_pts)
+        m = np.asarray(outs.seg_mask)
+        for k in range(old.shape[0]):
+            if not m[k].any():
+                continue
+            st = flow_line_stats(jnp.asarray(old[k]), jnp.asarray(new_[k]))
+            ln = np.asarray(st.length)[m[k]]
+            an = np.asarray(st.angle)[m[k]]
+            keep = ln > 0
+            lengths.extend(ln[keep].tolist())
+            angles.extend(an[keep].tolist())
+
+    from lk_tpu.pipeline.tracker import run_tracker_frames
+
+    n = run_tracker_frames(run_chunk, init, lambda fb: jax.vmap(pre)(fb),
+                           stream, args.chunk, max_frames=args.frames,
+                           on_outputs=on_outputs)
 
     if not args.quiet:
         print(f"frames: {n}  segments: {len(lengths)}")
@@ -79,29 +84,6 @@ def main(argv=None):
     if not args.quiet:
         print(f"plots: {args.dist_png} {args.freq_png}")
     return lengths, angles
-
-
-def _feed(run_jit, init, pre, state, buf, lengths, angles):
-    grays = jax.vmap(pre)(jnp.asarray(np.stack(buf)))
-    if state is None:
-        state = init(grays[0])
-        grays = grays[1:]
-        if grays.shape[0] == 0:
-            return state
-    state, outs = run_jit(state, grays)
-    old = np.asarray(outs.old_pts)
-    new = np.asarray(outs.new_pts)
-    m = np.asarray(outs.seg_mask)
-    for k in range(old.shape[0]):
-        if not m[k].any():
-            continue
-        st = flow_line_stats(jnp.asarray(old[k]), jnp.asarray(new[k]))
-        ln = np.asarray(st.length)[m[k]]
-        an = np.asarray(st.angle)[m[k]]
-        keep = ln > 0
-        lengths.extend(ln[keep].tolist())
-        angles.extend(an[keep].tolist())
-    return state
 
 
 def _plots(lengths, dist_png, freq_png):

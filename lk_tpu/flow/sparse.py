@@ -3,9 +3,10 @@
 The TPU-native replacement for ``cv.calcOpticalFlowPyrLK``
 (reference LK_Final.py:531-532; parameters at LK_Final.py:94-96), rebuilt as a
 fixed-shape batched tensor program: points live in capacity-N slot arrays with
-a validity mask; each point's refinement is a per-slot ``fori_loop`` with
-masked (converged/lost) updates; the slot axis is ``vmap``-ed, so the whole
-tracker is one fused XLA program with no data-dependent shapes.
+a validity mask; each point's refinement is a per-slot ``while_loop`` with
+masked (converged/lost) updates (under vmap it runs until every point in the
+batch converges); the slot axis is ``vmap``-ed, so the whole tracker is one
+fused XLA program with no data-dependent shapes.
 
 Semantics reproduced from OpenCV's pyramidal LK (float path):
 

@@ -91,6 +91,47 @@ def make_tracker(
     return run_chunk, init
 
 
+def run_tracker_frames(run_chunk, init, preprocess, frames, chunk: int,
+                       max_frames=None, on_outputs=None) -> int:
+    """Host loop: feed raw frames through a tracker in chunks.
+
+    preprocess: raw frame batch (T, Hs, Ws[, C]) -> processed (T, H, W).
+    on_outputs(outs): called with each chunk's stacked TrackerOutputs.
+    Returns the number of frames consumed.  Shared by the LK1/LK2 apps
+    (previously two diverging copies of the same init-frame bookkeeping).
+    """
+    import numpy as np
+
+    run_jit = jax.jit(run_chunk)
+    state = None
+    buf = []
+    n = 0
+
+    def flush():
+        nonlocal state
+        grays = preprocess(jnp.asarray(np.stack(buf)))
+        if state is None:
+            state = init(grays[0])
+            grays = grays[1:]
+            if grays.shape[0] == 0:
+                return
+        state, outs = run_jit(state, grays)
+        if on_outputs is not None:
+            on_outputs(outs)
+
+    for f in frames:
+        if max_frames is not None and n >= max_frames:
+            break
+        buf.append(f)
+        n += 1
+        if len(buf) >= chunk + (1 if state is None else 0):
+            flush()
+            buf.clear()
+    if buf:
+        flush()
+    return n
+
+
 def donut_mask(h: int, w: int, outer: Tuple[float, float, float, float],
                inner: Tuple[float, float, float, float]) -> jnp.ndarray:
     """Rectangular ring ROI (LK1's hand-rolled donut crop, LK1:45-54,75-82)."""
