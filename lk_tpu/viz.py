@@ -37,8 +37,6 @@ def plot_vp_figure(
     plt = _plt()
     fig = plt.figure(figsize=(12, 8), dpi=80)
     plt.title(f"Recent {window} Points")
-    plt.xlim(width // 3, width // 3 * 2)
-    plt.ylim(height // 3, height // 4 * 3)
     plt.xlabel("x axis")
     plt.ylabel("y axis")
     plt.scatter(width / 2, height / 2, 100, "r")
@@ -55,8 +53,11 @@ def plot_vp_figure(
             plt.plot([a[0], b[0]], [a[1], b[1]])
     plt.legend(["center", "cross points", "VPs history", "VP",
                 "vanishing line"])
-    plt.gca().invert_yaxis()
-    plt.axis("scaled")
+    # the reference keeps a fixed viewport (LK_Final.py:764-765); set limits
+    # last so autoscale/axis('scaled') cannot override them
+    plt.gca().set_aspect("equal")
+    plt.xlim(width // 3, width // 3 * 2)
+    plt.ylim(height // 4 * 3, height // 3)   # inverted y like the reference
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
