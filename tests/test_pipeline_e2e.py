@@ -146,3 +146,30 @@ def test_pipeline_matches_cv_oracle_band(scene):
     ours_tail = ours[len(ours) // 2:].mean(axis=0)
     ref_tail = ref[len(ref) // 2:].mean(axis=0)
     assert np.linalg.norm(ours_tail - ref_tail) < 20.0, (ours_tail, ref_tail)
+
+
+def test_vp_hide_and_reinit_on_scene_change():
+    """A VP jump mid-stream must hide the stale VP (HIDE_VP_THOLD frames
+    without a valid CP) and re-initialize at the new one (LK_Final.py:629-633
+    semantics, end-to-end).  Uses the VP_det preset: its avg_len reset on
+    hide (VP_det:644-648) exists precisely because LK_Final's inflated EMA
+    after a scene jump delays re-initialization."""
+    import dataclasses
+
+    from lk_tpu.models import VP_DETECT
+
+    s1 = SyntheticRoadStream(width=430, height=242, zoom=1.05, seed=3,
+                             n_frames=50, vp=(160, 100))
+    s2 = SyntheticRoadStream(width=430, height=242, zoom=1.05, seed=9,
+                             n_frames=50, vp=(270, 120))
+    frames = [s1.frame(t) for t in range(50)] + [s2.frame(t) for t in range(50)]
+    cfg = dataclasses.replace(VP_DETECT, width=430, hide_vp_thold=10)
+    pipe = VideoPipeline(cfg, src_size=(430, 242), chunk=10)
+    pipe.run(iter(frames))
+    vpf = pipe.vp_per_frame
+    hidden = [i for i, v in enumerate(vpf) if v is None and i > 40]
+    assert hidden, "VP never hid after the scene change"
+    second = np.array([v for v in vpf[max(hidden) + 1:] if v is not None])
+    assert len(second) > 5, "VP never re-initialized"
+    err = np.linalg.norm(second[len(second) // 2:].mean(0) - (270, 120))
+    assert err < 30, err
