@@ -144,8 +144,10 @@ def overlay_video(pipe: VideoPipeline, cfg: PipelineConfig, raw_frames,
     draw_mask = np.zeros((h, w, 3), np.uint8)
     # vp_per_frame is exactly one entry per processed frame (None while the
     # VP is hidden); csv_rows would drift — it holds a row per *update* too.
-    # The first raw frame only initializes (never processed): no VP for it.
-    vps = iter([None] + pipe.vp_per_frame)
+    # In a fresh run the first raw frame only initializes (never processed);
+    # a resumed run processes every fed frame, so no offset then.
+    lead = [None] if pipe.consumed_init_frame else []
+    vps = iter(lead + pipe.vp_per_frame)
     for f in raw_frames:
         frame = cv.resize(f, (w, h), interpolation=cv.INTER_AREA)
         frame = cv.polylines(frame, [poly], True, (0, 0, 100), 2)

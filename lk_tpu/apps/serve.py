@@ -51,10 +51,13 @@ def main(argv=None):
     frames = [np.stack([sc.frame(t) for t in range(args.frames)])
               for sc in scenes]
 
-    # warm/compile outside the timed window with a throwaway pipeline
+    # warm/compile outside the timed window with a throwaway pipeline over a
+    # FULL stream: run() feeds chunk+1, chunk, ..., trailing-partial shapes,
+    # and each distinct chunk length is its own executable — a partial warm-up
+    # would leave the trailing shape to compile inside the timed window.
     warm = VideoPipeline(cfg, src_size=(args.width, args.height),
                          chunk=args.chunk, host_preprocess=True)
-    warm.run(iter(frames[0][: args.chunk + 1]))
+    warm.run(iter(frames[0]))
 
     t0 = time.time()
     for s in range(args.streams):

@@ -122,6 +122,9 @@ class VideoPipeline:
         self.motion_rows: List[Tuple[float, ...]] = []
         self.vp_per_frame: List[Optional[Tuple[float, float]]] = []
         self.frames_done = 0
+        # True once the first fed frame was used for initialization (fresh
+        # runs); resumed runs process every fed frame (overlay alignment).
+        self.consumed_init_frame = False
         self._pending_resume: Optional[str] = None
         self._pending_outs: List[FrameOutputs] = []
         self.drain_every = 4  # chunks buffered before a host readback
@@ -165,13 +168,16 @@ class VideoPipeline:
             if self._pending_resume is not None:
                 # Restore the full state (incl. prev_gray): every fed frame
                 # is then processed — none is consumed for initialization.
+                # init_pipeline_state is shape-only (no detection dispatch);
+                # load_state overwrites all leaves anyway.
                 from lk_tpu.utils.checkpoint import load_state
 
-                template = self.init_fn(grays[0])
+                template = init_pipeline_state(grays[0], self.cfg)
                 self.state = load_state(template, self._pending_resume)
                 self._pending_resume = None
             else:
                 self.state = self.init_fn(grays[0])
+                self.consumed_init_frame = True
                 grays = grays[1:]
                 if grays.shape[0] == 0:
                     return None
