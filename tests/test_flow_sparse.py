@@ -127,3 +127,30 @@ class TestSparseVsOpenCV:
         both = ours_st & cv_st
         # err is mean-abs-window-diff in intensity units; same scale as OpenCV.
         assert np.abs(ours_err[both] - cv_err[both]).mean() < 1.0
+
+
+class TestNonDefaultParams:
+    @pytest.mark.parametrize("win,max_level", [((9, 9), 1), ((21, 21), 3)])
+    def test_epe_other_configs(self, scene, win, max_level):
+        """The tracker must hold parity away from the reference's (15,15)/2."""
+        img, pts = scene
+        nxt = _shift_image(img, 4.2, -3.1)
+        cfg = LKConfig(win_size=win, max_level=max_level)
+        valid = jnp.ones(len(pts), dtype=bool)
+        p1, st, _ = jax.jit(
+            lambda a, b, p, v: track_points(a, b, p, v, cfg)
+        )(jnp.asarray(img.astype(np.uint8).astype(np.float32)),
+          jnp.asarray(nxt.astype(np.uint8).astype(np.float32)),
+          jnp.asarray(pts), valid)
+        cv_p1, cv_st, _ = cv.calcOpticalFlowPyrLK(
+            img.astype(np.uint8), nxt.astype(np.uint8),
+            pts.reshape(-1, 1, 2), None,
+            winSize=win, maxLevel=max_level,
+            criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03),
+        )
+        cv_p1 = cv_p1.reshape(-1, 2)
+        cv_st = cv_st.reshape(-1).astype(bool)
+        both = np.asarray(st) & cv_st
+        assert both.sum() >= len(pts) * 0.7
+        epe = np.linalg.norm(np.asarray(p1)[both] - cv_p1[both], axis=1)
+        assert epe.mean() < 0.15, epe.mean()
