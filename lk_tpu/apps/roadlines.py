@@ -66,11 +66,10 @@ def main(argv=None):
             if not m[k].any():
                 continue
             st = flow_line_stats(jnp.asarray(old[k]), jnp.asarray(new_[k]))
-            ln = np.asarray(st.length)[m[k]]
-            an = np.asarray(st.angle)[m[k]]
-            keep = ln > 0
-            lengths.extend(ln[keep].tolist())
-            angles.extend(an[keep].tolist())
+            # LK2 records every surviving track's segment, including
+            # zero-length ones (LK2_road_line_detection.py:214-216).
+            lengths.extend(np.asarray(st.length)[m[k]].tolist())
+            angles.extend(np.asarray(st.angle)[m[k]].tolist())
 
     from lk_tpu.pipeline.tracker import run_tracker_frames
 
