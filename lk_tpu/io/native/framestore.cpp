@@ -113,25 +113,35 @@ struct FrameStore {
 extern "C" {
 
 void* fs_open(const char* path, int ring_cap, int downscale) {
+  if (downscale != 1 && downscale != 2) return nullptr;
   auto* fs = new FrameStore();
   fs->fd = ::open(path, O_RDONLY);
   if (fs->fd < 0) { delete fs; return nullptr; }
   struct stat st;
   if (fstat(fs->fd, &st) != 0) { ::close(fs->fd); delete fs; return nullptr; }
   fs->map_size = (size_t)st.st_size;
+  if (fs->map_size < sizeof(Header)) {
+    ::close(fs->fd);
+    delete fs;
+    return nullptr;
+  }
   fs->map = (const uint8_t*)mmap(nullptr, fs->map_size, PROT_READ,
                                  MAP_PRIVATE, fs->fd, 0);
   if (fs->map == MAP_FAILED) { ::close(fs->fd); delete fs; return nullptr; }
   std::memcpy(&fs->hdr, fs->map, sizeof(Header));
-  if (std::memcmp(fs->hdr.magic, "LKRW", 4) != 0) {
+  fs->frame_bytes =
+      (size_t)fs->hdr.width * fs->hdr.height * fs->hdr.channels;
+  if (std::memcmp(fs->hdr.magic, "LKRW", 4) != 0 || fs->frame_bytes == 0) {
     munmap((void*)fs->map, fs->map_size);
     ::close(fs->fd);
     delete fs;
     return nullptr;
   }
-  fs->frame_bytes =
-      (size_t)fs->hdr.width * fs->hdr.height * fs->hdr.channels;
-  fs->downscale = downscale == 2 ? 2 : 1;
+  // A truncated/corrupt file must not let stage() read past the mapping:
+  // clamp nframes to the full frames actually present in the file.
+  size_t avail = (fs->map_size - sizeof(Header)) / fs->frame_bytes;
+  if ((size_t)fs->hdr.nframes > avail) fs->hdr.nframes = (uint32_t)avail;
+  fs->downscale = downscale;
   fs->ring_cap = ring_cap > 0 ? (size_t)ring_cap : 8;
   fs->ring.resize(fs->ring_cap);
   fs->ring_idx.assign(fs->ring_cap, -1);

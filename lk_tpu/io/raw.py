@@ -40,6 +40,8 @@ class RawFrameReader:
     """Batch reader over an LKRAW file; native prefetch when available."""
 
     def __init__(self, path: str, ring: int = 16, downscale: int = 1):
+        if downscale not in (1, 2):
+            raise ValueError(f"downscale must be 1 or 2, got {downscale}")
         self.path = path
         self._lib = get_lib()
         self._h = None
@@ -53,9 +55,18 @@ class RawFrameReader:
             self._np = None
         else:
             # NumPy fallback: mmap + strided view
+            import os
+
             with open(path, "rb") as fh:
-                magic, w, h, c, n = _HDR.unpack(fh.read(_HDR.size))
-            assert magic == b"LKRW", path
+                hdr_bytes = fh.read(_HDR.size)
+            if len(hdr_bytes) < _HDR.size:
+                raise ValueError(f"not an LKRAW file (truncated header): {path}")
+            magic, w, h, c, n = _HDR.unpack(hdr_bytes)
+            if magic != b"LKRW" or w * h * c == 0:
+                raise ValueError(f"not an LKRAW file: {path}")
+            # Clamp to full frames actually present (matches fs_open).
+            avail = (os.path.getsize(path) - _HDR.size) // (h * w * c)
+            n = min(n, max(avail, 0))
             self.downscale = downscale
             data = np.memmap(path, dtype=np.uint8, mode="r",
                              offset=_HDR.size, shape=(n, h, w, c))
