@@ -73,25 +73,26 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
     if args.resume:
         pipe.resume_from(args.resume)
     t0 = time.time()
-    raw_frames = []
 
-    def limited():
-        for n_done, f in enumerate(stream):
+    def limited(src):
+        for n_done, f in enumerate(src):
             if args.frames is not None and n_done >= args.frames:
                 return
-            if args.write_video:
-                raw_frames.append(f)
             yield f
 
-    pipe.run(limited())
+    pipe.run(limited(stream))
     dt = time.time() - t0
 
     name = video_name_of(args)
     csv_path = save_vp_csv(pipe.csv_rows, name, args.out_dir)
     if args.save_segments:
         save_segments_pickle(pipe.segments, args.save_segments)
-    if args.write_video and raw_frames:
-        overlay_video(pipe, cfg, raw_frames, args.write_video)
+    if args.write_video:
+        # Second decode pass: frames stream straight into the encoder, so
+        # host memory stays O(1) in video length (the reference writes per
+        # frame via cv.VideoWriter too, LK_Final.py:432-434).
+        overlay_video(pipe, cfg, limited(open_frames(args)),
+                      args.write_video)
     if args.checkpoint and pipe.state is not None:
         pipe.save_checkpoint(args.checkpoint)
     if args.plot_vp:
@@ -130,6 +131,8 @@ def overlay_video(pipe: VideoPipeline, cfg: PipelineConfig, raw_frames,
                   path: str, fps: int = 30) -> Optional[str]:
     """Re-render annotated frames (ROI polygon + center/VP dots) and encode.
 
+    ``raw_frames`` is any iterable of source frames; each is encoded as soon
+    as it is rendered, so memory stays constant regardless of clip length.
     Presentation path only; mirrors LK_Final.py:432-434,652-666.
     """
     import cv2 as cv

@@ -139,12 +139,16 @@ class VideoPipeline:
         """Restore pipeline state from a checkpoint on the next feed()."""
         self._pending_resume = path
 
+    def _ckpt_meta(self) -> str:
+        """Identity string tying a checkpoint to this pipeline's config."""
+        return f"{self.width}x{self.height}|{self.cfg!r}"
+
     def save_checkpoint(self, path: str) -> str:
         from lk_tpu.utils.checkpoint import save_state
 
         if self.state is None:
             raise RuntimeError("no state to checkpoint yet")
-        return save_state(self.state, path)
+        return save_state(self.state, path, meta=self._ckpt_meta())
 
     def _ingest(self, frames_u8: np.ndarray) -> jnp.ndarray:
         if self.host_preprocess:
@@ -173,7 +177,9 @@ class VideoPipeline:
                 from lk_tpu.utils.checkpoint import load_state
 
                 template = init_pipeline_state(grays[0], self.cfg)
-                self.state = load_state(template, self._pending_resume)
+                self.state = load_state(
+                    template, self._pending_resume, meta=self._ckpt_meta()
+                )
                 self._pending_resume = None
             else:
                 self.state = self.init_fn(grays[0])

@@ -82,14 +82,18 @@ class TestViz:
 
 
 class TestProfiling:
-    def test_fps_meter(self):
-        m = FrameRateMeter(window=5)
-        import time
+    def test_fps_meter(self, monkeypatch):
+        # Synthetic clock: wall-clock independent (sleep-based timing made
+        # this flake under load — advisor round 1).
+        import lk_tpu.utils.profiling as prof
 
+        t = iter(0.01 * k for k in range(100))
+        monkeypatch.setattr(prof.time, "perf_counter", lambda: next(t))
+        m = FrameRateMeter(window=5)
         for _ in range(5):
             m.tick()
-            time.sleep(0.01)
-        assert 20 < m.fps < 200
+        # 5 ticks at exactly 10 ms apart -> 100 fps
+        assert abs(m.fps - 100.0) < 1e-6
 
     def test_spans(self):
         s = Spans()
@@ -130,6 +134,55 @@ class TestResumeExactness:
         np.testing.assert_allclose(
             np.array(joined), np.array(full.csv_rows), atol=1e-4
         )
+
+    def test_resume_across_presets_fails_loudly(self, tmp_path):
+        """A checkpoint saved under one preset must not silently resume a
+        pipeline with a different config (same shapes, different semantics)."""
+        import dataclasses
+        import pytest
+        from lk_tpu.io.video import SyntheticRoadStream
+        from lk_tpu.models import FINAL, VP_DETECT
+        from lk_tpu.pipeline.runner import VideoPipeline
+
+        w = FINAL.width
+        scene = SyntheticRoadStream(width=w, height=242, zoom=1.03,
+                                    seed=11, n_frames=8)
+        frames = [scene.frame(t) for t in range(8)]
+        pipe = VideoPipeline(FINAL, src_size=(w, 242), chunk=4)
+        pipe.run(iter(frames))
+        ck = str(tmp_path / "ck.npz")
+        pipe.save_checkpoint(ck)
+
+        other = VideoPipeline(
+            dataclasses.replace(VP_DETECT, width=w),
+            src_size=(w, 242), chunk=4,
+        )
+        other.resume_from(ck)
+        with pytest.raises(ValueError, match="identity mismatch"):
+            other.run(iter(frames))
+
+    def test_load_state_rejects_dtype_mismatch(self, tmp_path):
+        from lk_tpu.utils.checkpoint import load_state, save_state
+
+        state = {"a": np.zeros((3,), np.float32), "b": np.ones((2,), np.int32)}
+        p = str(tmp_path / "s.npz")
+        save_state(state, p)
+        bad = {"a": np.zeros((3,), np.float32), "b": np.ones((2,), np.float32)}
+        import pytest
+
+        with pytest.raises(ValueError, match="dtype"):
+            load_state(bad, p)
+
+    def test_load_state_rejects_structure_mismatch(self, tmp_path):
+        from lk_tpu.utils.checkpoint import load_state, save_state
+
+        state = {"a": np.zeros((3,), np.float32)}
+        p = str(tmp_path / "s.npz")
+        save_state(state, p)
+        import pytest
+
+        with pytest.raises(ValueError, match="structure"):
+            load_state({"z": np.zeros((3,), np.float32)}, p)
 
 
 def test_batched_dense_odd_height(rng):
