@@ -55,17 +55,18 @@ def _scene(rng, h, w, dx, dy):
 def epe_check(dcfg: "DenseLKConfig") -> float:
     """Mean EPE vs cv.calcOpticalFlowPyrLK, dashcam-regime motion.
 
-    512x1024 keeps every pyramid level tile-aligned for the Pallas path so
-    the gate measures the kernel, not padding artifacts."""
+    Runs at the SAME 1080p geometry the throughput measures, so the gate
+    exercises the identical compiled program including the pad-and-crop
+    path (1080 -> 1088 rows) and the production tile sizes."""
     import cv2 as cv
 
     rng = np.random.default_rng(1234)
-    img, nxt = _scene(rng, 512, 1024, 3.7, -2.2)
+    img, nxt = _scene(rng, H, W, 3.7, -2.2)
     res = jax.jit(
         lambda a, b: dense_pyramidal_lk(a, b, LKConfig(), dense_cfg=dcfg).flow
     )(jnp.asarray(img), jnp.asarray(nxt))
     flow = np.asarray(res)
-    ys, xs = np.mgrid[40:480:16, 40:990:16]
+    ys, xs = np.mgrid[40:H - 40:16, 40:W - 40:16]
     pts = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
     p1, st, _ = cv.calcOpticalFlowPyrLK(
         img.astype(np.uint8), nxt.astype(np.uint8),
@@ -116,13 +117,13 @@ def throughput(dcfg: "DenseLKConfig") -> float:
         return jax.lax.fori_loop(0, chain_n, body, 0.0)
 
     float(chained(prev, nxt))  # compile + warm
-    best = 0.0
+    fps = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         float(chained(prev, nxt))
         dt = (time.perf_counter() - t0 - TUNNEL_OVERHEAD_S) / chain_n
-        best = max(best, BATCH / max(dt, 1e-9))
-    return best
+        fps.append(BATCH / max(dt, 1e-9))
+    return sorted(fps)[len(fps) // 2]  # median: defensible vs best-of
 
 
 def main():

@@ -37,15 +37,17 @@ class DenseLKConfig:
     exact to first order (flow/dense.py).
     iter_schedule: per-level rounds for the pyramid driver, indexed by level
     (the last entry extends to deeper levels).  The top level does the real
-    search; the well-initialized fine levels only polish — (2, 3, 6) measures
-    the same EPE as (6, 6, 6) at 2x the 1080p throughput (369 vs 180 fps).
+    search; the well-initialized fine levels only polish — (1, 2, 6) measures
+    the same EPE as (6, 6, 6) on translation (0.014 vs 0.013 px), rotation
+    (0.071 vs 0.068) and zoom scenes at far higher 1080p throughput
+    (526 vs ~180 fps; swept on v5e, see BENCH_NOTES.md).
     max_disp: level-0 integer displacement bound for the gather-free warp
     (ops/warp.py shift_select_warp); level L uses max(4, max_disp >> L).
     Total trackable |flow| is bounded by max_disp.
     """
 
     outer_iters: int = 6
-    iter_schedule: Tuple[int, ...] = (2, 3, 6)
+    iter_schedule: Tuple[int, ...] = (1, 2, 6)
     max_disp: int = 32
     # Use the Pallas locality-exploiting warp kernel (flow/pallas_kernels.py)
     # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
