@@ -95,7 +95,7 @@ def dense_lk_level(
     if use_pallas:
         from lk_tpu.flow.pallas_kernels import pick_tile_w
 
-        th = 64  # fewer, taller tiles amortize per-tile DMA latency (measured)
+        th = 128  # fewer, taller tiles amortize per-tile DMA latency (measured)
         h0, w0 = orig_hw
         tw, wp = pick_tile_w(w0)
         hp = -(-h0 // th) * th
@@ -129,20 +129,14 @@ def dense_lk_level(
     bound = jnp.float32(r_disp)
 
     if dense_cfg.use_pallas_fused:
-        from lk_tpu.flow.pallas_kernels import make_fused_lk_iter
+        from lk_tpu.flow.pallas_kernels import make_fused_lk_level
 
-        iter_fn = make_fused_lk_iter(
-            next_, prev, ix, iy, a11, a12, a22, inv_det, valid,
-            max_disp=r_disp, tile_h=64, tile_w=tw, win_k=win_h,
+        run = make_fused_lk_level(
+            next_, prev, ix, iy, a11, a12, a22, inv_det,
+            n_iters=dense_cfg.outer_iters,
+            max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
         )
-
-        def fused_body(_, flow):
-            return iter_fn(flow)
-
-        flow = jax.lax.fori_loop(
-            0, dense_cfg.outer_iters, fused_body,
-            flow_init.astype(jnp.float32),
-        )
+        flow = run(flow_init.astype(jnp.float32))
         h0, w0 = orig_hw
         if flow.shape[:2] != (h0, w0):
             flow = flow[:h0, :w0]
@@ -156,7 +150,7 @@ def dense_lk_level(
             from lk_tpu.flow.pallas_kernels import pallas_local_warp
 
             jw = pallas_local_warp(
-                next_, flow, max_disp=r_disp, tile_h=64, tile_w=tw
+                next_, flow, max_disp=r_disp, tile_h=th, tile_w=tw
             )
         else:
             jw = shift_select_warp(next_, flow, (r_disp, r_disp))

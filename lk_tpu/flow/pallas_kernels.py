@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64
 TILE_W = 384
-LOCAL = 8  # static residual displacement range around the tile reference
+# Static residual displacement range around the tile reference.  Swept on
+# v5e at 1080p (8/6/4): 6 beats 8 on BOTH speed (fewer select taps) and
+# EPE (trans 0.007 vs 0.014, rot 0.052 vs 0.071 — the clamp regularizes
+# per-pixel noise toward the tile reference); 4 is faster still but halves
+# the margin against real flow variation across a 512-wide tile.
+LOCAL = 6
 
 
 def _pow2_lanes(n: int) -> int:
@@ -59,16 +64,21 @@ def pick_tile_w(w: int) -> tuple[int, int]:
     Heavy padding is not just wasted compute — tiles dominated by padded
     (frozen) flow get an unrepresentative reference displacement and clamp
     real pixels' residuals (measured: mean EPE 0.35 vs 0.027 on a 9 px shift
-    at 640-wide frames padded to 768).  Wide single tiles also hurt: the
-    per-tile residual range must cover the flow variation across the tile.
+    at 640-wide frames padded to 768).  Among equal-padding choices, WIDER
+    tiles win: per-grid-step DMA latency (~6 us, measured) dominates small
+    tiles, so fewer steps beats narrower windows (e.g. 960 wide: 2 tiles of
+    512 on a 64-px pad, not 8 tiles of 128).
     """
     if w <= 512:
         return w, w                      # single full-width tile (legal)
+    best = None
     for tw in (512, 384, 256, 128):
-        if w % tw == 0:
-            return tw, w                 # exact tiling, no padding
-    padded = -(-w // 128) * 128
-    return 128, padded                   # minimal pad, narrow tiles
+        padded = -(-w // tw) * tw
+        waste = padded - w
+        if best is None or waste < best[0]:
+            best = (waste, tw, padded)
+    _, tw, padded = best
+    return tw, padded
 
 
 def _win_shape(th: int, tw: int, local: int) -> tuple[int, int]:
@@ -210,21 +220,29 @@ def pallas_local_warp(
 
 
 # ---------------------------------------------------------------------------
-# Fused inverse-compositional LK iteration
+# Fused inverse-compositional LK level: ALL iterations in one pallas_call
 # ---------------------------------------------------------------------------
 
 _HALO = 8  # rows/cols of halo the box sums need around a tile (win 15 -> ±7)
 
 
-def _fused_kernel(
-    next_hbm, static_hbm, flow_hbm,
-    a11_ref, a12_ref, a22_ref, invd_ref, valid_ref,
-    fx_out, fy_out,
-    win_scratch, ext_scratch, flow_scratch, sems,
-    *, h, w, pad, ext_pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
+def _fused_level_kernel(
+    next_hbm, static_hbm, flowbuf_hbm, a_ref,
+    out_hbm,
+    win_scratch, ext_scratch, flow_scratch, out_tile, sems,
+    *, h, w, pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
 ):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    """Grid step (k, ti, tj): iteration k of tile (ti, tj).
+
+    The grid's outermost dim is the iteration loop — TPU grids execute
+    sequentially, so every tile of iteration k completes before k+1 starts,
+    giving Jacobi semantics via the ping-pong slots of ``flowbuf_hbm``
+    (shape (4, hext, wext): slots [0:2] and [2:4] alternate as src/dst,
+    input_output-aliased so flow never leaves HBM between iterations).
+    """
+    k = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
     y0 = ti * tile_h
     x0 = tj * tile_w
     eth = tile_h + 2 * _HALO          # extended rows (halo for box sums)
@@ -232,22 +250,46 @@ def _fused_kernel(
     etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
     etw = tile_w + 2 * _HALO          # columns actually used
 
+    src = (k % 2) * 2                 # ping-pong source slot pair
+    dst = 2 - src
+
     # --- fetch the extended windows: one stacked DMA for the static arrays
-    # (prev, ix, iy) and one for the per-iteration flow (fx, fy).  Separate
-    # DMAs serialize their latencies (measured); stacking amortizes them.
-    row0 = pl.multiple_of(y0 + ext_pad - _HALO, 8)
+    # (prev, ix, iy) and one for the current flow (fx, fy).  Separate DMAs
+    # serialize their latencies (measured); stacking amortizes them.
+    row0 = pl.multiple_of(y0, 8)      # = y0 + gy - _HALO with gy == _HALO
     col0 = pl.multiple_of(x0, 128)
     dma_s = pltpu.make_async_copy(
         static_hbm.at[:, pl.ds(row0, eth), pl.ds(col0, etw_dma)],
         ext_scratch, sems.at[0],
     )
-    dma_f = pltpu.make_async_copy(
-        flow_hbm.at[:, pl.ds(row0, eth), pl.ds(col0, etw_dma)],
-        flow_scratch, sems.at[1],
-    )
     dma_s.start()
-    dma_f.start()
-    dma_f.wait()
+
+    # Read iteration 0's flow from the (donated) input ref and later
+    # iterations' from the output ref.  On hardware these are the same
+    # memory (input_output_aliases), so this is a no-op distinction; in
+    # interpret mode, which copies instead of aliasing, it makes the
+    # ping-pong read the actually-written slots.
+    @pl.when(k == 0)
+    def _():
+        d = pltpu.make_async_copy(
+            flowbuf_hbm.at[
+                pl.ds(src, 2), pl.ds(row0, eth), pl.ds(col0, etw_dma)
+            ],
+            flow_scratch, sems.at[1],
+        )
+        d.start()
+        d.wait()
+
+    @pl.when(k > 0)
+    def _():
+        d = pltpu.make_async_copy(
+            out_hbm.at[
+                pl.ds(src, 2), pl.ds(row0, eth), pl.ds(col0, etw_dma)
+            ],
+            flow_scratch, sems.at[1],
+        )
+        d.start()
+        d.wait()
 
     c0 = 128 - _HALO                  # work-region column offset in the DMA
     fx_w = flow_scratch[0, :, c0:c0 + etw]
@@ -286,23 +328,52 @@ def _fused_kernel(
     b2 = boxsum(py)
 
     # --- A.v correction + solve ---------------------------------------------
+    # inv_det is 0 where the structure tensor is untrustworthy, so du/dv
+    # vanish there — no separate validity mask needed.
     fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
     fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
-    a11 = a11_ref[:]
-    a12 = a12_ref[:]
-    a22 = a22_ref[:]
-    invd = invd_ref[:]
-    valid = valid_ref[:]
+    a11 = a_ref[0]
+    a12 = a_ref[1]
+    a22 = a_ref[2]
+    invd = a_ref[3]
     b1 = b1 + a11 * fx_t + a12 * fy_t
     b2 = b2 + a12 * fx_t + a22 * fy_t
     du = (a12 * b2 - a22 * b1) * invd
     dv = (a12 * b1 - a11 * b2) * invd
     bound = jnp.float32(bound_f)
-    fx_out[:] = jnp.clip(fx_t + valid * du, -bound, bound)
-    fy_out[:] = jnp.clip(fy_t + valid * dv, -bound, bound)
+    fx_new = jnp.clip(fx_t + du, -bound, bound)
+    fy_new = jnp.clip(fy_t + dv, -bound, bound)
+    # The write width must be 128-aligned (Mosaic slice-shape rule); when
+    # tile_w is not (e.g. the 480-wide single tile at pyramid level 2), the
+    # extra columns carry edge replication — for the rightmost tile that
+    # refreshes the right halo band; for interior tiles the next tile in
+    # this same sequential grid iteration overwrites the spill.
+    tw_dma_out = out_tile.shape[-1]
+    if tw_dma_out != tile_w:
+        ext = tw_dma_out - tile_w
+        fx_new = jnp.concatenate(
+            [fx_new, jnp.broadcast_to(fx_new[:, -1:], (tile_h, ext))], axis=1
+        )
+        fy_new = jnp.concatenate(
+            [fy_new, jnp.broadcast_to(fy_new[:, -1:], (tile_h, ext))], axis=1
+        )
+    out_tile[0] = fx_new
+    out_tile[1] = fy_new
+
+    dma_o = pltpu.make_async_copy(
+        out_tile,
+        out_hbm.at[
+            pl.ds(dst, 2),
+            pl.ds(pl.multiple_of(y0 + _HALO, 8), tile_h),
+            pl.ds(pl.multiple_of(x0 + 128, 128), tw_dma_out),
+        ],
+        sems.at[3],
+    )
+    dma_o.start()
+    dma_o.wait()
 
 
-def make_fused_lk_iter(
+def make_fused_lk_level(
     next_img: jnp.ndarray,
     prev_img: jnp.ndarray,
     ix: jnp.ndarray,
@@ -311,17 +382,25 @@ def make_fused_lk_iter(
     a12: jnp.ndarray,
     a22: jnp.ndarray,
     inv_det: jnp.ndarray,
-    valid: jnp.ndarray,
+    n_iters: int,
     max_disp: int = 32,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     local: int = LOCAL,
     win_k: int = 15,
 ):
-    """Build iter_fn(flow) -> flow running one fused IC dense-LK iteration.
+    """Build run(flow_init) -> flow executing n_iters fused IC iterations.
 
-    Loop-invariant inputs (padded next, stacked prev/ix/iy windows, structure
-    tensor) are prepared once here; only the flow restacks per call.
+    One pallas_call per level: grid (n_iters, tiles_y, tiles_x).  Flow lives
+    in an HBM ping-pong buffer aliased input->output; per iteration each tile
+    reads 3 stacked windows and writes one (2, th, tw) tile — no XLA glue,
+    no HBM round-trips of intermediate arrays between iterations.
+
+    Border note: the 8-px halo bands outside the frame hold the *initial*
+    flow's edge replication for all iterations (the XLA path re-replicates
+    per iteration).  This affects box sums only within the outermost window
+    radius of the frame border.
+
     All arrays (H, W); H % tile_h == 0, W % tile_w == 0 (flow.dense pads).
     """
     h, w = next_img.shape
@@ -334,49 +413,55 @@ def make_fused_lk_iter(
     pad = max_disp + local + 1 + max(sh, sw - etw)
     next_pad = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
 
-    ext_pad = _HALO  # row padding of the windowed inputs
+    gy = _HALO  # row padding of the windowed inputs
 
     def pad_ext(x):
         # right col pad 256: the 128-rounded DMA width may overrun 128+halo
-        return jnp.pad(x.astype(jnp.float32), ((ext_pad, ext_pad), (128, 256)),
+        return jnp.pad(x.astype(jnp.float32), ((gy, gy), (128, 256)),
                        mode="edge")
 
-    static_stack = jnp.stack(
-        [pad_ext(prev_img), pad_ext(ix), pad_ext(iy)]
-    )
-    grid = (h // tile_h, w // tile_w)
+    static_stack = jnp.stack([pad_ext(prev_img), pad_ext(ix), pad_ext(iy)])
+    a_stack = jnp.stack([a11, a12, a22, inv_det]).astype(jnp.float32)
+    hext = h + 2 * gy
+    wext = w + 128 + 256
+
+    grid = (n_iters, h // tile_h, w // tile_w)
     kernel = functools.partial(
-        _fused_kernel, h=h, w=w, pad=pad, ext_pad=ext_pad, max_disp=max_disp,
+        _fused_level_kernel, h=h, w=w, pad=pad, max_disp=max_disp,
         tile_h=tile_h, tile_w=tile_w, local=local, win_k=win_k,
         bound_f=float(max_disp),
     )
-    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((h, w), jnp.float32),
-                   jax.ShapeDtypeStruct((h, w), jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((4, hext, wext), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3
-        + [tile_spec] * 5,
-        out_specs=(tile_spec, tile_spec),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded next
+            pl.BlockSpec(memory_space=pltpu.HBM),   # prev/ix/iy stack
+            pl.BlockSpec(memory_space=pltpu.HBM),   # flow ping-pong (aliased)
+            pl.BlockSpec((4, tile_h, tile_w), lambda k, i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),  # structure tensor stack
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((sh, sw), jnp.float32),
             pltpu.VMEM((3, eth, etw_dma), jnp.float32),
             pltpu.VMEM((2, eth, etw_dma), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, tile_h, -(-tile_w // 128) * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
+        input_output_aliases={2: 0},
     )
-    validf = valid.astype(jnp.float32)
 
-    def iter_fn(flow: jnp.ndarray) -> jnp.ndarray:
-        flow_stack = jnp.stack(
-            [pad_ext(flow[..., 0]), pad_ext(flow[..., 1])]
-        )
-        fx_new, fy_new = call(
-            next_pad, static_stack, flow_stack,
-            a11, a12, a22, inv_det, validf,
-        )
-        return jnp.stack([fx_new, fy_new], axis=-1)
+    def run(flow_init: jnp.ndarray) -> jnp.ndarray:
+        fx = pad_ext(flow_init[..., 0])
+        fy = pad_ext(flow_init[..., 1])
+        # both slot pairs start at the init flow so iteration 0's halo reads
+        # (and odd/even result slots) are well-defined
+        buf = jnp.stack([fx, fy, fx, fy])
+        out = call(next_pad, static_stack, buf, a_stack)
+        s = 2 * (n_iters % 2)
+        flow = out[s:s + 2, gy:gy + h, 128:128 + w]
+        return jnp.moveaxis(flow, 0, -1)
 
-    return iter_fn
+    return run

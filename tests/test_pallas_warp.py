@@ -80,6 +80,42 @@ class TestPallasLocalWarp:
         d = np.abs(np.asarray(ref) - np.asarray(fused))
         assert d[16:-16, 16:-16].max() < 1e-3, d[16:-16, 16:-16].max()
 
+    def test_fused_level_two_iters_matches_xla(self, rng):
+        """Two fused iterations inside one pallas_call (ping-pong slots)
+        == two XLA iterations in the interior."""
+        import cv2 as cv
+
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow.dense import dense_lk_level
+
+        h, w = 128, 384
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        m = np.float32([[1, 0, 2.0], [0, 1, 1.5]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        flow0 = jnp.zeros((h, w, 2), jnp.float32)
+        # like-for-like reference: XLA glue around the same pallas warp —
+        # isolates the fusion/ping-pong mechanics from warp-implementation
+        # differences (pallas local warp vs shift-select differ to second
+        # order on the noisy iter-1 flow field; both are gated end-to-end
+        # against OpenCV by bench.py's EPE check)
+        ref = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                             LKConfig(),
+                             DenseLKConfig(outer_iters=2,
+                                           use_pallas_warp=True),
+                             max_disp=8).flow
+        fused = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                               LKConfig(),
+                               DenseLKConfig(outer_iters=2,
+                                             use_pallas_fused=True),
+                               max_disp=8).flow
+        d = np.abs(np.asarray(ref) - np.asarray(fused))
+        # interior crop: the XLA path's per-pixel eps freeze and per-iter
+        # halo re-replication differ within ~2 window radii of the edge;
+        # the remaining interior difference is the eps-freeze semantics
+        assert d[32:-32, 32:-32].max() < 0.1, d[32:-32, 32:-32].max()
+
     def test_residual_clamp_behavior(self, rng):
         """Flow deviating more than `local` from the tile reference clamps."""
         h, w = 16, 384
