@@ -53,10 +53,16 @@ class DenseLKConfig:
     # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
     # path remains the portable fallback and the accuracy reference.
     use_pallas_warp: bool = False
-    # Fuse the whole IC iteration (warp + residual + box sums + solve) into
-    # one Pallas kernel.  Implies the pallas tiling constraints; drops the
-    # per-pixel eps early-stop (converged pixels take |delta|~0 steps).
+    # Fuse whole IC iterations (warp + residual + box sums + solve) into
+    # one Pallas kernel per level.  Implies the pallas tiling constraints;
+    # drops the per-pixel eps early-stop (converged pixels take |delta|~0
+    # steps).
     use_pallas_fused: bool = False
+    # With use_pallas_warp, levels running at least this many iterations
+    # switch to the fused level kernel automatically: the fused setup
+    # (static window stacking) costs ~0.4 ms at 1080p and only amortizes
+    # over several iterations (measured: fused wins at x6, loses at x1-x2).
+    fused_from_iters: int = 4
 
     def level_disp(self, level: int) -> int:
         return max(4, self.max_disp >> level)

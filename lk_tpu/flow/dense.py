@@ -268,8 +268,14 @@ def dense_pyramidal_lk(
         if level != top:
             h, w = prev_levels[level].shape[-2:]
             flow = _upsample_flow(flow, h, w)
+        n_it = dense_cfg.level_iters(level)
+        # Levels with enough iterations amortize the fused kernel's setup;
+        # 1-2 iteration levels stay on the lighter warp-only path.
+        fuse = dense_cfg.use_pallas_fused or (
+            dense_cfg.use_pallas_warp and n_it >= dense_cfg.fused_from_iters
+        )
         level_cfg = dataclasses.replace(
-            dense_cfg, outer_iters=dense_cfg.level_iters(level)
+            dense_cfg, outer_iters=n_it, use_pallas_fused=fuse
         )
         result = dense_lk_level(
             prev_levels[level], next_levels[level], flow, cfg, level_cfg,
