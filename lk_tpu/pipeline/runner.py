@@ -71,7 +71,7 @@ def make_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
     """
     width, height = frame_size
     roi_mask, sub_masks = build_roi_masks(width, height, cfg.roi)
-    step, detect = make_step(cfg, frame_size, roi_mask, sub_masks)
+    step, detect, _ = make_step(cfg, frame_size, roi_mask, sub_masks)
 
     def run_chunk(state: PipelineState, frames: jnp.ndarray):
         return jax.lax.scan(step, state, frames)
@@ -82,6 +82,35 @@ def make_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
         return st._replace(pts=pts, valid=valid)
 
     return run_chunk, init_fn, (roi_mask, sub_masks)
+
+
+def make_batched_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
+    """Batched-over-streams chunk runner (see step.make_step step_batched).
+
+    run_chunk_b(states, frames (B, T, H, W)) -> (states, FrameOutputs with
+    leading (B, T)).  Scans TIME with the whole stream batch inside each
+    step — not vmap-of-scan, whose per-stream window gathers and
+    both-branch lax.cond are pathological on TPU (measured 24x).
+    """
+    width, height = frame_size
+    roi_mask, sub_masks = build_roi_masks(width, height, cfg.roi)
+    _, detect, step_batched = make_step(cfg, frame_size, roi_mask, sub_masks)
+
+    def run_chunk_b(states: PipelineState, frames: jnp.ndarray):
+        states, outs = jax.lax.scan(
+            step_batched, states, jnp.swapaxes(frames, 0, 1)
+        )
+        # scan stacks outputs on T first; hosts consume (B, T, ...)
+        return states, jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), outs
+        )
+
+    def init_fn(first_gray: jnp.ndarray) -> PipelineState:
+        st = init_pipeline_state(first_gray, cfg)
+        pts, valid = detect(first_gray.astype(jnp.float32))
+        return st._replace(pts=pts, valid=valid)
+
+    return run_chunk_b, jax.vmap(init_fn), (roi_mask, sub_masks)
 
 
 class VideoPipeline:
@@ -130,8 +159,11 @@ class VideoPipeline:
         self.drain_every = 4  # chunks buffered before a host readback
 
     def drain(self) -> None:
-        """Flush buffered per-chunk outputs to the host sinks."""
-        for outs in self._pending_outs:
+        """Flush buffered per-chunk outputs to the host sinks.
+
+        All pending chunks fetch in ONE device_get — each transfer pays the
+        ~33 ms tunnel round trip regardless of size."""
+        for outs in jax.device_get(self._pending_outs):
             self._drain(outs)
         self._pending_outs.clear()
 
@@ -199,40 +231,42 @@ class VideoPipeline:
     def _drain(self, outs: FrameOutputs) -> None:
         # One device->host transfer for the whole pytree: per-array fetches
         # each pay the full tunnel round trip (~33 ms measured) and dominated
-        # the host loop.
+        # the host loop.  The bookkeeping below is vectorized numpy — the
+        # per-frame Python loop it replaces dominated multi-stream serving
+        # (measured ~0.5 ms/frame of host time).
         outs = jax.device_get(outs)
         t = outs.show_mask.shape[0]
-        upd_rows = np.asarray(outs.update_rows)
+        upd_rows = np.asarray(outs.update_rows, np.float64)
         upd_mask = np.asarray(outs.update_mask)
-        show_rows = np.asarray(outs.show_row)
+        show_rows = np.asarray(outs.show_row, np.float64)
         show_mask = np.asarray(outs.show_mask)
         seg_s = np.asarray(outs.line_start)
         seg_e = np.asarray(outs.line_stop)
         seg_m = np.asarray(outs.line_mask)
-        cp_xy = np.asarray(outs.cp_xy)
+        cp_xy = np.asarray(outs.cp_xy, np.float64)
         cp_m = np.asarray(outs.cp_mask)
         fracs = np.asarray(outs.motion_fracs)
-        for k in range(t):
-            self.motion_rows.append(tuple(np.round(fracs[k], 4)))
-            for c in cp_xy[k][cp_m[k]]:
-                self.cross_points.append((float(c[0]), float(c[1])))
-            if self.cfg.csv_rows_on_update:
-                for r in upd_rows[k][upd_mask[k]]:
-                    self.csv_rows.append((float(r[0]), float(r[1])))
-            if show_mask[k]:
-                self.csv_rows.append(
-                    (float(show_rows[k][0]), float(show_rows[k][1]))
-                )
-                self.vp_per_frame.append(
-                    (float(show_rows[k][0]), float(show_rows[k][1]))
-                )
-            else:
-                self.vp_per_frame.append(None)
-            for a, b in zip(seg_s[k][seg_m[k]], seg_e[k][seg_m[k]]):
-                self.segments.append(
-                    dict(start=a.copy(), stop=b.copy())
-                )
-            self.frames_done += 1
+
+        self.motion_rows.extend(map(tuple, np.round(fracs, 4)))
+        self.cross_points.extend(map(tuple, cp_xy[cp_m]))
+        # csv rows: per frame, update rows (in order) then the show row —
+        # flattened via a combined (t, P+1, 2) matrix so row-major masking
+        # preserves the reference's emission order (LK_Final.py:612-638).
+        if self.cfg.csv_rows_on_update:
+            comb = np.concatenate([upd_rows, show_rows[:, None, :]], axis=1)
+            comb_m = np.concatenate([upd_mask, show_mask[:, None]], axis=1)
+        else:
+            comb = show_rows[:, None, :]
+            comb_m = show_mask[:, None]
+        self.csv_rows.extend(map(tuple, comb[comb_m]))
+        self.vp_per_frame.extend(
+            tuple(r) if m else None for r, m in zip(show_rows, show_mask)
+        )
+        self.segments.extend(
+            dict(start=a.copy(), stop=b.copy())
+            for a, b in zip(seg_s[seg_m], seg_e[seg_m])
+        )
+        self.frames_done += t
 
     def run(self, frames: Iterable[np.ndarray]) -> None:
         """Consume an iterable of single (Hs, Ws, 3) u8 frames in chunks."""
@@ -245,3 +279,85 @@ class VideoPipeline:
         if buf:
             self.feed(np.stack(buf))
         self.drain()
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_batched_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
+    run_chunk_b, init_b, _ = make_batched_chunk_runner(cfg, frame_size)
+    return jax.jit(run_chunk_b), jax.jit(init_b)
+
+
+class MultiStreamPipeline:
+    """B same-geometry streams batched through ONE on-device pipeline step.
+
+    The reference runs one video per process (reference LK_Final.py:778-780);
+    single-chip serving batches the full VP-pipeline chunk scan over a
+    leading stream axis (vmap), so the 20-point tracker/geometry work —
+    far too small to fill a TPU per stream — runs for all streams in the
+    same kernels.  Per-stream host bookkeeping (CSV rows, segments, VP
+    trajectories) is delegated to B :class:`VideoPipeline` sinks.
+
+    Feed either raw frames (``feed``) or preprocessed grayscale
+    (``feed_processed`` — the serving hot path, with decode/preprocess
+    handled upstream by lk_tpu.io).
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        src_size: Tuple[int, int],
+        n_streams: int,
+        chunk: int = 16,
+        host_preprocess: bool = True,
+    ):
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.chunk = chunk
+        self.pipes = [
+            VideoPipeline(cfg, src_size=src_size, chunk=chunk,
+                          host_preprocess=host_preprocess)
+            for _ in range(n_streams)
+        ]
+        self.width = self.pipes[0].width
+        self.height = self.pipes[0].height
+        self._vrun, self._vinit = _cached_batched_runner(
+            cfg, (self.width, self.height)
+        )
+        self.states = None
+        self._pending: List[FrameOutputs] = []
+        self.drain_every = 4
+
+    def feed(self, batch: np.ndarray) -> None:
+        """batch: (B, T, Hs, Ws, 3) u8 BGR frames, one row per stream."""
+        grays = jnp.stack([
+            p._ingest(batch[b]) for b, p in enumerate(self.pipes)
+        ])
+        self.feed_processed(grays)
+
+    def feed_processed(self, grays: jnp.ndarray) -> None:
+        """grays: (B, T, H, W) preprocessed float32 frames."""
+        assert grays.shape[0] == self.n_streams
+        if self.states is None:
+            self.states = self._vinit(grays[:, 0])
+            for p in self.pipes:
+                p.consumed_init_frame = True
+            grays = grays[:, 1:]
+            if grays.shape[1] == 0:
+                return
+        self.states, outs = self._vrun(self.states, grays)
+        # Defer readback (async dispatch): drain fetches the whole batched
+        # pytree in one device->host transfer, then slices per stream.
+        self._pending.append(outs)
+        if len(self._pending) >= self.drain_every:
+            self.drain()
+
+    def drain(self) -> None:
+        # one device->host fetch for every pending chunk of every stream
+        for host in jax.device_get(self._pending):
+            for b, p in enumerate(self.pipes):
+                p._drain(jax.tree_util.tree_map(lambda x: x[b], host))
+        self._pending.clear()
+
+    @property
+    def frames_done(self) -> int:
+        return sum(p.frames_done for p in self.pipes)

@@ -115,15 +115,10 @@ def make_step(
             valid_groups.append(pval[:s])
         return jnp.stack(pts_groups), jnp.stack(valid_groups)
 
-    def step(state: PipelineState, gray: jnp.ndarray):
-        gray = gray.astype(jnp.float32)
-
-        # --- L3: track all slots in one call (shared pyramids) -------------
+    def _pre(state: PipelineState, gray: jnp.ndarray, p1, st):
+        """L2-L5 + replenish trigger: everything between tracking and the
+        (conditional) re-detection."""
         flat_pts = state.pts.reshape(g * s, 2)
-        flat_valid = state.valid.reshape(g * s)
-        p1, st, _err = track_points(
-            state.prev_gray, gray, flat_pts, flat_valid, cfg.lk
-        )
 
         # --- L2: ROI containment ------------------------------------------
         st = check_inside(p1, roi_mask, st)
@@ -163,24 +158,33 @@ def make_step(
         valid_after = surv
         live = jnp.sum(valid_after)
 
-        # --- replenishment --------------------------------------------------
-        # Runs on the *current* frame (processed_old_frame has already been
-        # swapped at LK_Final.py:669 by the time :691 detects).
+        # --- replenishment trigger ------------------------------------------
+        # Detection runs on the *current* frame (processed_old_frame has
+        # already been swapped at LK_Final.py:669 by the time :691 detects).
         trigger = (
             live < jnp.int32(cfg.tp_num * cfg.tp_update_rate)
         ) | (state.tp_ult == cfg.tp_update_time)
-        # lax.cond executes only the taken branch: detection (response map +
-        # 4 greedy selections, ~1 ms) runs only on replenish frames instead
-        # of every frame.
-        det_pts, det_valid = jax.lax.cond(
-            trigger,
-            lambda gg: detect(gg),
-            lambda gg: (
-                jnp.zeros((g, s, 2), jnp.float32),
-                jnp.zeros((g, s), jnp.bool_),
-            ),
-            gray,
+        return dict(
+            trigger=trigger, live=live, surv=surv, new=new,
+            pts_after=pts_after, valid_after=valid_after, avg_len=avg_len,
+            vp_state=vp_state, geom=geom, stats_all=stats_all,
+            accepted=accepted,
         )
+
+    def _post(state: PipelineState, gray: jnp.ndarray, ctx,
+              det_pts, det_valid):
+        """Apply replenishment + assemble the new state and outputs."""
+        trigger = ctx["trigger"]
+        live = ctx["live"]
+        surv = ctx["surv"]
+        new = ctx["new"]
+        pts_after = ctx["pts_after"]
+        valid_after = ctx["valid_after"]
+        avg_len = ctx["avg_len"]
+        vp_state = ctx["vp_state"]
+        geom = ctx["geom"]
+        stats_all = ctx["stats_all"]
+        accepted = ctx["accepted"]
         group_nonempty = jnp.any(det_valid, axis=1)
         if cfg.fl_upd_meth == "REP":
             do_rep = trigger & jnp.all(group_nonempty)
@@ -245,4 +249,58 @@ def make_step(
         )
         return new_state, outputs
 
-    return step, detect
+    def step(state: PipelineState, gray: jnp.ndarray):
+        gray = gray.astype(jnp.float32)
+        # --- L3: track all slots in one call (shared pyramids) -------------
+        flat_pts = state.pts.reshape(g * s, 2)
+        flat_valid = state.valid.reshape(g * s)
+        p1, st, _err = track_points(
+            state.prev_gray, gray, flat_pts, flat_valid, cfg.lk
+        )
+        ctx = _pre(state, gray, p1, st)
+        # lax.cond executes only the taken branch: detection (response map +
+        # greedy selections, ~1 ms) runs only on replenish frames.
+        det_pts, det_valid = jax.lax.cond(
+            ctx["trigger"],
+            lambda gg: detect(gg),
+            lambda gg: (
+                jnp.zeros((g, s, 2), jnp.float32),
+                jnp.zeros((g, s), jnp.bool_),
+            ),
+            gray,
+        )
+        return _post(state, gray, ctx, det_pts, det_valid)
+
+    def step_batched(states: PipelineState, grays: jnp.ndarray):
+        """Step B streams at once: states' leaves have a leading B axis.
+
+        Two batching hazards drive this variant (vs jax.vmap(step)):
+        tracking vmapped over streams turns window reads into pathological
+        gathers (flow.sparse.track_points_batched restructures them), and a
+        vmapped lax.cond runs BOTH branches — so detection is gated on
+        ``any(trigger)`` across streams (a scalar), keeping the per-stream
+        semantics while still skipping the work on most frames.
+        """
+        from lk_tpu.flow.sparse import track_points_batched
+
+        grays = grays.astype(jnp.float32)
+        b = grays.shape[0]
+        p1, st, _err = track_points_batched(
+            states.prev_gray, grays,
+            states.pts.reshape(b, g * s, 2),
+            states.valid.reshape(b, g * s), cfg.lk,
+        )
+        ctx = jax.vmap(_pre)(states, grays, p1, st)
+        zeros = (
+            jnp.zeros((b, g, s, 2), jnp.float32),
+            jnp.zeros((b, g, s), jnp.bool_),
+        )
+        det_pts, det_valid = jax.lax.cond(
+            jnp.any(ctx["trigger"]),
+            lambda gg: jax.vmap(detect)(gg),
+            lambda gg: zeros,
+            grays,
+        )
+        return jax.vmap(_post)(states, grays, ctx, det_pts, det_valid)
+
+    return step, detect, step_batched

@@ -59,3 +59,41 @@ def test_csv_matches_reference_artifact_format(tmp_path):
     # reference files contain consecutive duplicate rows (shown-frame repeat
     # semantics, SURVEY §2.3) — writer must preserve duplicates verbatim
     assert ys[1] == ys[2]
+
+
+def test_multistream_matches_independent_pipelines():
+    """Batched serving (one vmapped step) == per-stream pipelines."""
+    import numpy as np
+
+    from lk_tpu.config import PipelineConfig
+    from lk_tpu.io.video import SyntheticRoadStream
+    from lk_tpu.pipeline.runner import MultiStreamPipeline, VideoPipeline
+
+    w, h, f, b = 430, 242, 17, 3
+    cfg = PipelineConfig(width=w)
+    scenes = [
+        SyntheticRoadStream(width=w, height=h, n_frames=f, seed=s, zoom=1.03)
+        for s in range(b)
+    ]
+    frames = [np.stack([sc.frame(t) for t in range(f)]) for sc in scenes]
+
+    server = MultiStreamPipeline(cfg, src_size=(w, h), n_streams=b, chunk=4)
+    t = 0
+    while t < f:
+        n = min(4 + (1 if server.states is None else 0), f - t)
+        server.feed(np.stack([fr[t:t + n] for fr in frames]))
+        t += n
+    server.drain()
+
+    for s in range(b):
+        solo = VideoPipeline(cfg, src_size=(w, h), chunk=4,
+                             host_preprocess=True)
+        solo.run(iter(frames[s]))
+        batched = server.pipes[s]
+        assert len(batched.csv_rows) == len(solo.csv_rows), s
+        np.testing.assert_allclose(
+            np.array(batched.csv_rows, np.float64).reshape(-1, 2),
+            np.array(solo.csv_rows, np.float64).reshape(-1, 2),
+            atol=1e-4,
+        )
+        assert batched.frames_done == solo.frames_done

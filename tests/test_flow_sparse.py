@@ -154,3 +154,40 @@ class TestNonDefaultParams:
         assert both.sum() >= len(pts) * 0.7
         epe = np.linalg.norm(np.asarray(p1)[both] - cv_p1[both], axis=1)
         assert epe.mean() < 0.15, epe.mean()
+
+
+def test_batched_matches_per_stream(rng):
+    """track_points_batched (row-folded) == track_points per stream."""
+    import cv2 as cv
+
+    from lk_tpu.flow.sparse import track_points, track_points_batched
+
+    b, h, w, n = 3, 120, 200, 12
+    prevs, nxts, ptss = [], [], []
+    for s in range(b):
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 1.5)
+        m = np.float32([[1, 0, 2.0 + s], [0, 1, -1.0 + 0.5 * s]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        pts = np.stack([
+            rng.uniform(12, w - 12, n), rng.uniform(12, h - 12, n)
+        ], -1).astype(np.float32)
+        prevs.append(img)
+        nxts.append(nxt)
+        ptss.append(pts)
+    valid = np.ones((b, n), bool)
+    valid[1, -2:] = False
+
+    bp, bs, be = track_points_batched(
+        jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(nxts)),
+        jnp.asarray(np.stack(ptss)), jnp.asarray(valid))
+    for s in range(b):
+        sp, ss, se = track_points(
+            jnp.asarray(prevs[s]), jnp.asarray(nxts[s]),
+            jnp.asarray(ptss[s]), jnp.asarray(valid[s]))
+        np.testing.assert_allclose(np.asarray(bp[s]), np.asarray(sp),
+                                   atol=1e-4, err_msg=f"stream {s}")
+        np.testing.assert_array_equal(np.asarray(bs[s]), np.asarray(ss))
+        np.testing.assert_allclose(np.asarray(be[s]), np.asarray(se),
+                                   atol=1e-3)
