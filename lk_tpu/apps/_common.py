@@ -31,6 +31,9 @@ def build_parser(desc: str) -> argparse.ArgumentParser:
                    help="max frames to process")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames per device chunk")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="chunks decoded ahead on a producer thread "
+                        "(0 = synchronous decode like the reference)")
     p.add_argument("--out-dir", default="./vps", help="CSV output directory")
     p.add_argument("--write-video", default=None,
                    help="write annotated video to this path (MJPG avi)")
@@ -80,7 +83,7 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
                 return
             yield f
 
-    pipe.run(limited(stream))
+    pipe.run(limited(stream), prefetch=getattr(args, "prefetch", 0))
     dt = time.time() - t0
 
     name = video_name_of(args)

@@ -1,0 +1,119 @@
+"""Asynchronous ingest: decode/preprocess producer overlapped with compute.
+
+The reference decodes synchronously inside its frame loop
+(``cap.read()`` at reference LK_Final.py:509-517) — fine at 27 fps, but at
+TPU rates the host-side decode+preprocess serializes with device compute.
+Here a producer thread drains the source iterator (any codec
+``cv2.VideoCapture`` opens, or a synthetic generator), groups frames into
+fixed-size chunks, applies the host transform (BGR->gray + resize + the
+jitted finishing blur — JAX dispatch is thread-safe and asynchronous), and
+parks finished chunks in a bounded queue.  The consumer only blocks when the
+producer can't keep up.  This is the same staged-ring design as the native
+LKRAW reader (io/native/framestore.cpp:9-16), generalized to arbitrary
+codecs.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+_SENTINEL = object()
+
+
+class ChunkPrefetcher:
+    """Iterate ``transform(chunk)`` over fixed-size frame chunks, decoded
+    and transformed ``depth`` chunks ahead on a producer thread.
+
+    Parameters
+    ----------
+    frames:     iterable of single frames (any np-stackable objects).
+    chunk:      frames per emitted chunk (the trailing chunk may be short).
+    depth:      bounded-queue capacity — how far the producer may run ahead.
+    transform:  optional host/device staging fn applied on the producer
+                thread (e.g. ``VideoPipeline._ingest``: cv2 preprocess +
+                async ``device_put``); identity when None.
+
+    Worker exceptions re-raise in the consumer.  ``producer_done_at`` records
+    when decoding finished (wall clock) — the overlap evidence used by tests
+    and the profiling summary.
+    """
+
+    def __init__(
+        self,
+        frames: Iterable[Any],
+        chunk: int,
+        depth: int = 4,
+        transform: Optional[Callable[[np.ndarray], Any]] = None,
+    ):
+        if chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self.producer_done_at: Optional[float] = None
+        self.producer_busy_s = 0.0  # decode+transform wall time (producer)
+
+        def _produce():
+            try:
+                buf = []
+                t0 = time.perf_counter()
+                for f in frames:
+                    buf.append(f)
+                    if len(buf) == chunk:
+                        out = np.stack(buf)
+                        buf = []
+                        out = transform(out) if transform else out
+                        self.producer_busy_s += time.perf_counter() - t0
+                        self._put(out)
+                        t0 = time.perf_counter()
+                    if self._stop.is_set():
+                        return
+                if buf:
+                    out = np.stack(buf)
+                    out = transform(out) if transform else out
+                    self.producer_busy_s += time.perf_counter() - t0
+                    self._put(out)
+            except BaseException as e:  # re-raised by the consumer
+                self._err = e
+            finally:
+                self.producer_done_at = time.perf_counter()
+                self._put(_SENTINEL, force=True)
+
+        self._thread = threading.Thread(
+            target=_produce, name="lk-tpu-ingest", daemon=True
+        )
+        self._thread.start()
+
+    def _put(self, item, force: bool = False):
+        while True:
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                if self._stop.is_set() and not force:
+                    return
+
+    def __iter__(self) -> Iterator[Any]:
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+    def close(self):
+        """Stop the producer early (consumer abandoned the stream)."""
+        self._stop.set()
+        # drain so a blocked put() wakes up
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)

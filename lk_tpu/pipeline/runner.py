@@ -155,6 +155,7 @@ class VideoPipeline:
         # runs); resumed runs process every fed frame (overlay alignment).
         self.consumed_init_frame = False
         self._pending_resume: Optional[str] = None
+        self.last_prefetcher = None  # set by run(prefetch>0)
         self._pending_outs: List[FrameOutputs] = []
         self.drain_every = 4  # chunks buffered before a host readback
 
@@ -199,7 +200,11 @@ class VideoPipeline:
 
     def feed(self, frames_u8: np.ndarray) -> FrameOutputs:
         """Process (T, Hs, Ws, 3) u8 BGR frames; returns stacked outputs."""
-        grays = self._ingest(frames_u8)
+        return self.feed_gray(self._ingest(frames_u8))
+
+    def feed_gray(self, grays: jnp.ndarray) -> FrameOutputs:
+        """Process already-ingested (T, H, W) float32 gray frames
+        (the async-prefetch path runs ``_ingest`` on the producer thread)."""
         if self.state is None:
             if self._pending_resume is not None:
                 # Restore the full state (incl. prev_gray): every fed frame
@@ -268,8 +273,28 @@ class VideoPipeline:
         )
         self.frames_done += t
 
-    def run(self, frames: Iterable[np.ndarray]) -> None:
-        """Consume an iterable of single (Hs, Ws, 3) u8 frames in chunks."""
+    def run(self, frames: Iterable[np.ndarray], prefetch: int = 0) -> None:
+        """Consume an iterable of single (Hs, Ws, 3) u8 frames in chunks.
+
+        ``prefetch > 0`` decodes and preprocesses ``prefetch`` chunks ahead
+        on a producer thread (lk_tpu.io.prefetch), overlapping host decode
+        with device compute — the TPU-rate replacement for the reference's
+        synchronous ``cap.read()`` loop (LK_Final.py:509-517).
+        """
+        if prefetch > 0:
+            from lk_tpu.io.prefetch import ChunkPrefetcher
+
+            pf = ChunkPrefetcher(
+                frames, self.chunk, depth=prefetch, transform=self._ingest
+            )
+            self.last_prefetcher = pf  # overlap evidence for profiling/tests
+            try:
+                for grays in pf:
+                    self.feed_gray(grays)
+            finally:
+                pf.close()
+            self.drain()
+            return
         buf: List[np.ndarray] = []
         for f in frames:
             buf.append(f)
