@@ -50,6 +50,10 @@ def build_parser(desc: str) -> argparse.ArgumentParser:
                    help="save final pipeline state to this .npz")
     p.add_argument("--resume", default=None,
                    help="resume pipeline state from this .npz")
+    p.add_argument("--display", action="store_true",
+                   help="live window with the reference's key protocol "
+                        "(ESC quit, SPACE pause, BACKSPACE clear overlay); "
+                        "needs a display")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -83,7 +87,17 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
                 return
             yield f
 
-    pipe.run(limited(stream), prefetch=getattr(args, "prefetch", 0))
+    if getattr(args, "display", False):
+        from lk_tpu.apps.display import Cv2UI, interactive_loop
+
+        if not Cv2UI.available():
+            raise RuntimeError(
+                "--display needs a GUI (no $DISPLAY found); drop the flag "
+                "to run headless, or use --write-video for the overlay"
+            )
+        interactive_loop(pipe, cfg, limited(stream), Cv2UI())
+    else:
+        pipe.run(limited(stream), prefetch=getattr(args, "prefetch", 0))
     dt = time.time() - t0
 
     name = video_name_of(args)
