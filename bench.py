@@ -34,7 +34,21 @@ H, W = 1080, 1920
 BATCH = int(os.environ.get("LK_BENCH_BATCH", "1"))
 REPS = int(os.environ.get("LK_BENCH_REPS", "5"))
 BASELINE_FPS = 27.0  # reference full pipeline on CPU (BASELINE.md)
-TUNNEL_OVERHEAD_S = 0.033  # measured per-fetch round-trip via axon
+
+
+def measure_tunnel_s() -> float:
+    """Per-fetch round-trip via the axon tunnel, measured (a trivial jit +
+    scalar fetch; ~24-33 ms depending on session).  Subtracting a stale
+    constant skews per-frame time by (error / chain) per frame."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))  # warm
+    reps = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(f(x))
+        reps.append(time.perf_counter() - t0)
+    return sorted(reps)[len(reps) // 2]
 
 
 def _scene(rng, h, w, dx, dy):
@@ -117,11 +131,12 @@ def throughput(dcfg: "DenseLKConfig") -> float:
         return jax.lax.fori_loop(0, chain_n, body, 0.0)
 
     float(chained(prev, nxt))  # compile + warm
+    tunnel = measure_tunnel_s()
     fps = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         float(chained(prev, nxt))
-        dt = (time.perf_counter() - t0 - TUNNEL_OVERHEAD_S) / chain_n
+        dt = (time.perf_counter() - t0 - tunnel) / chain_n
         fps.append(BATCH / max(dt, 1e-9))
     return sorted(fps)[len(fps) // 2]  # median: defensible vs best-of
 

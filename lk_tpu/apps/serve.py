@@ -52,14 +52,19 @@ def main(argv=None):
     server = MultiStreamPipeline(cfg, src_size=(args.width, args.height),
                                  n_streams=args.streams, chunk=args.chunk)
 
-    # Pre-stage processed grays on device (untimed): decode+preprocess is
-    # the io subsystem's job and measured there.
-    grays = jnp.stack([
-        server.pipes[b]._ingest(
-            np.stack([scenes[b].frame(t) for t in range(args.frames)])
-        )
-        for b in range(args.streams)
-    ])
+    # Pre-stage grays on device as u8 (untimed): decode+resize is the io
+    # subsystem's job and measured there.  Staged f32 OOMs HBM at B>=64
+    # (B*T*H*W*4); u8 staging is 4x smaller, and the finishing blur (device
+    # work any real server performs) runs per chunk inside the timed window.
+    import cv2 as cv
+
+    h, w = server.height, server.width
+    u8 = np.empty((args.streams, args.frames, h, w), np.uint8)
+    for b in range(args.streams):
+        for t in range(args.frames):
+            g = cv.cvtColor(scenes[b].frame(t), cv.COLOR_BGR2GRAY)
+            u8[b, t] = cv.resize(g, (w, h), interpolation=cv.INTER_AREA)
+    grays = jnp.asarray(u8)
     grays.block_until_ready()
 
     # Warm/compile untimed: one full pass through a throwaway server with
@@ -87,12 +92,16 @@ def main(argv=None):
 
 
 def _feed_all(server: MultiStreamPipeline, grays, args) -> None:
+    b = grays.shape[0]
+    h, w = grays.shape[-2:]
+    finish = server.pipes[0]._finish_jit  # jitted vmapped blur(+tone)
     t = 0
     f = args.frames
     while t < f:
         # first feed consumes one extra frame for initialization
         n = min(args.chunk + (1 if server.states is None else 0), f - t)
-        server.feed_processed(grays[:, t:t + n])
+        chunk = finish(grays[:, t:t + n].reshape(b * n, h, w))
+        server.feed_processed(chunk.reshape(b, n, h, w))
         t += n
 
 

@@ -37,17 +37,20 @@ class DenseLKConfig:
     exact to first order (flow/dense.py).
     iter_schedule: per-level rounds for the pyramid driver, indexed by level
     (the last entry extends to deeper levels).  The top level does the real
-    search; the well-initialized fine levels only polish — (1, 2, 6) measures
-    the same EPE as (6, 6, 6) on translation (0.014 vs 0.013 px), rotation
-    (0.071 vs 0.068) and zoom scenes at far higher 1080p throughput
-    (526 vs ~180 fps; swept on v5e, see BENCH_NOTES.md).
+    search; the well-initialized fine levels only polish.  Swept on v5e
+    (scripts/sweep_dense.py, see BENCH_NOTES.md): (1, 1, 6) matches
+    (2, 3, 6) and (1, 2, 6) EPE on translation/rotation/zoom scenes
+    (0.008/0.036/0.019 px) AND on the hard 12 px-displacement case
+    (7.78 vs 7.52 px where OpenCV itself scores 7.9 vs ground truth),
+    at 15-60% higher 1080p throughput; cutting top-level iterations
+    ((1, 1, 4)) degrades the large-displacement search and is not worth it.
     max_disp: level-0 integer displacement bound for the gather-free warp
     (ops/warp.py shift_select_warp); level L uses max(4, max_disp >> L).
     Total trackable |flow| is bounded by max_disp.
     """
 
     outer_iters: int = 6
-    iter_schedule: Tuple[int, ...] = (1, 2, 6)
+    iter_schedule: Tuple[int, ...] = (1, 1, 6)
     max_disp: int = 32
     # Use the Pallas locality-exploiting warp kernel (flow/pallas_kernels.py)
     # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
@@ -63,6 +66,11 @@ class DenseLKConfig:
     # (static window stacking) costs ~0.4 ms at 1080p and only amortizes
     # over several iterations (measured: fused wins at x6, loses at x1-x2).
     fused_from_iters: int = 4
+    # Build the coarse-search pyramid with ops.blur.pyr_down(fast=True):
+    # both filter+decimate passes as DEFAULT-precision banded MXU matmuls
+    # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees
+    # the exact f32 frames).  The exact path stays for cv.pyrDown parity.
+    fast_pyramid: bool = True
 
     def level_disp(self, level: int) -> int:
         return max(4, self.max_disp >> level)

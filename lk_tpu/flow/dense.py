@@ -95,7 +95,15 @@ def dense_lk_level(
     if use_pallas:
         from lk_tpu.flow.pallas_kernels import pick_tile_w
 
-        th = 128  # fewer, taller tiles amortize per-tile DMA latency (measured)
+        # Swept on v5e at 1080p (th 64/128/136/272 equal within noise; 544
+        # exceeds the 16 MB scoped-VMEM limit) and end-to-end in bench.py
+        # (th=64 everywhere: 630 fps; tall bands at the small levels: 595):
+        # smallest padding wins — th=64 (1080 -> 1088, not -> 1152).
+        h0_ = orig_hw[0]
+        if dense_cfg.use_pallas_fused and h0_ <= 272:
+            th = min(-(-h0_ // 8) * 8, 136)  # fused 270p: 2 bands/iter
+        else:
+            th = 64
         h0, w0 = orig_hw
         tw, wp = pick_tile_w(w0)
         hp = -(-h0 // th) * th
@@ -248,11 +256,15 @@ def dense_pyramidal_lk(
 
     prev/next: (H, W) float32 grayscale in 0..255.  Returns level-0 flow.
     """
+    # NOTE: keep the two pyr_down calls per level separate — stacking the
+    # pair into one (2, H, W) call measures 585 vs 770 fps end-to-end
+    # (batched 3-D stencils lower pathologically on this backend).
+    fast = dense_cfg.fast_pyramid
     prev_levels = [prev.astype(jnp.float32)]
     next_levels = [next_.astype(jnp.float32)]
     for _ in range(cfg.max_level):
-        prev_levels.append(pyr_down(prev_levels[-1]))
-        next_levels.append(pyr_down(next_levels[-1]))
+        prev_levels.append(pyr_down(prev_levels[-1], fast=fast))
+        next_levels.append(pyr_down(next_levels[-1], fast=fast))
 
     top = cfg.max_level
     h_top, w_top = prev_levels[top].shape[-2:]

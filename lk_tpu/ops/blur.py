@@ -75,7 +75,7 @@ def _pyr_col_matrix(w: int) -> np.ndarray:
     return m
 
 
-def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+def pyr_down(img: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """One pyramid level down: 5-tap Gaussian + even-pixel decimation.
 
     Output spatial size is ceil(n/2) per axis, matching cv.pyrDown.
@@ -84,7 +84,30 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     stride, cheap) -> filter+decimate columns as ONE banded matmul on the
     MXU.  A lane-axis strided slice ([..., ::2]) is a multi-ms relayout at
     these sizes (measured), and the matmul replaces it outright.
+
+    fast=True maps BOTH axes to banded matmuls at DEFAULT (bf16-input)
+    matmul precision: the row shifted-add pass and its full-height f32
+    intermediate disappear, and the HIGHEST-precision column matmul
+    (6 bf16 MXU passes on v5e) drops to one.  Output differs from the exact
+    path by bf16 data rounding only (<=0.5 intensity on 0..255 images) —
+    fine for the coarse-search pyramid of dense LK, NOT for paths that
+    promise cv.pyrDown bit-exactness (the default remains exact).
     """
+    if fast:
+        mr = jnp.asarray(_pyr_col_matrix(img.shape[-2]))
+        mc = jnp.asarray(_pyr_col_matrix(img.shape[-1]))
+        x = img.astype(jnp.float32)
+        # rows: contract the H axis with the (H, H2) matrix
+        y = jax.lax.dot_general(
+            x, mr, (((x.ndim - 2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dot_general moved the contracted-row result axis last: (..., W, H2)
+        y = jnp.swapaxes(y, -1, -2)
+        return jax.lax.dot_general(
+            y, mc, (((y.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     x = _sep_filter_axis(img, _GAUSS5, axis=-2)
     sl = [slice(None)] * x.ndim
     sl[-2] = slice(None, None, 2)

@@ -28,10 +28,27 @@ from lk_tpu.ops.gradients import scharr_derivatives
 
 H, W = 1080, 1920
 CHAIN = 20
-TUNNEL = 0.033
+_TUNNEL = None
 
 
-def timeit(name, make_fn, *args):
+def tunnel_s() -> float:
+    """Measure the per-fetch round-trip directly (a trivial jit + fetch)."""
+    global _TUNNEL
+    if _TUNNEL is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))
+        reps = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(f(x))
+            reps.append(time.perf_counter() - t0)
+        _TUNNEL = sorted(reps)[len(reps) // 2]
+        print(f"{'tunnel round-trip':44s} {_TUNNEL * 1e3:8.3f} ms")
+    return _TUNNEL
+
+
+def timeit(name, make_fn, *args, chain=CHAIN):
     """make_fn(*args) -> scalar-producing jitted chained fn."""
     fn = make_fn(*args)
     float(fn(*args))  # compile+warm
@@ -39,20 +56,20 @@ def timeit(name, make_fn, *args):
     for _ in range(5):
         t0 = time.perf_counter()
         float(fn(*args))
-        reps.append((time.perf_counter() - t0 - TUNNEL) / CHAIN)
+        reps.append((time.perf_counter() - t0 - tunnel_s()) / chain)
     ms = sorted(reps)[len(reps) // 2] * 1e3
     print(f"{name:44s} {ms:8.3f} ms/it")
     return ms
 
 
-def chained(body):
+def chained(body, chain=CHAIN):
     @jax.jit
     def run(*args):
         def step(i, acc):
             out = body(*[a + acc * 1e-12 if a.dtype == jnp.float32 else a
                          for a in args])
             return acc + jnp.sum(out) * 1e-12
-        return jax.lax.fori_loop(0, CHAIN, step, 0.0)
+        return jax.lax.fori_loop(0, chain, step, 0.0)
     return run
 
 
@@ -90,26 +107,62 @@ def main():
                            x, y, g, cfg, d, max_disp=8).flow),
                    prev, nxt, flow0)
 
+    if sel("levels"):
+        # budget of the production schedule's lower levels
+        p1, n1 = pyr_down(prev), pyr_down(nxt)
+        p2, n2 = pyr_down(p1), pyr_down(n1)
+        f1 = jnp.zeros((*p1.shape, 2), jnp.float32)
+        f2 = jnp.zeros((*p2.shape, 2), jnp.float32)
+        d1 = DenseLKConfig(use_pallas_warp=True, outer_iters=2)
+        timeit("level1 540p warp x2",
+               lambda a, b, f: chained(
+                   lambda x, y, g: dense_lk_level(
+                       x, y, g, cfg, d1, max_disp=16).flow),
+               p1, n1, f1)
+        d2 = DenseLKConfig(use_pallas_fused=True, outer_iters=6)
+        timeit("level2 270p fused x6",
+               lambda a, b, f: chained(
+                   lambda x, y, g: dense_lk_level(
+                       x, y, g, cfg, d2, max_disp=8).flow),
+               p2, n2, f2)
+
     if sel("pyr"):
         timeit("pyr_down 1080p -> 540p",
-               lambda a: chained(pyr_down), prev)
+               lambda a: chained(pyr_down, chain=200), prev, chain=200)
         timeit("scharr 1080p",
-               lambda a: chained(lambda x: scharr_derivatives(x)[0]), prev)
+               lambda a: chained(lambda x: scharr_derivatives(x)[0],
+                                 chain=200), prev, chain=200)
 
     if sel("box"):
         timeit("box_sum 15x15 1080p (zero border)",
-               lambda a: chained(lambda x: box_sum(x, (15, 15))), prev)
+               lambda a: chained(lambda x: box_sum(x, (15, 15)), chain=200),
+               prev, chain=200)
+        from lk_tpu.ops.boxfilter import box_sum_matmul
+
+        timeit("box_sum_matmul f32 15x15 1080p",
+               lambda a: chained(
+                   lambda x: box_sum_matmul(x, (15, 15)), chain=200),
+               prev, chain=200)
+        timeit("box_sum_matmul bf16 15x15 1080p",
+               lambda a: chained(
+                   lambda x: box_sum_matmul(
+                       x, (15, 15), compute_dtype=jnp.bfloat16), chain=200),
+               prev, chain=200)
 
     if sel("warp"):
         from lk_tpu.flow.pallas_kernels import pallas_local_warp, pick_tile_w
         tw, wp = pick_tile_w(W)
-        timeit(f"pallas_local_warp 1080p->1088 (tw={tw})",
-               lambda a, f: chained(
-                   lambda x, g: pallas_local_warp(
-                       jnp.pad(x, ((0, 8), (0, wp - W)), mode="edge"),
-                       jnp.pad(g, ((0, 8), (0, wp - W), (0, 0)), mode="edge"),
-                       max_disp=8, tile_h=64, tile_w=tw)),
-               nxt, flow0)
+        for th in (64, 128, 136, 272, 544):
+            hp = -(-H // th) * th
+            timeit(f"pallas_local_warp 1080p->{hp} (th={th}, tw={tw})",
+                   lambda a, f, th=th, hp=hp: chained(
+                       lambda x, g: pallas_local_warp(
+                           jnp.pad(x, ((0, hp - H), (0, wp - W)), mode="edge"),
+                           jnp.pad(g, ((0, hp - H), (0, wp - W), (0, 0)),
+                                   mode="edge"),
+                           max_disp=8, tile_h=th, tile_w=tw),
+                       chain=100),
+                   nxt, flow0, chain=100)
 
 
 if __name__ == "__main__":

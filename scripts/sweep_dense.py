@@ -23,8 +23,24 @@ from lk_tpu.flow.dense import dense_pyramidal_lk, dense_lk_level
 
 H, W = 1080, 1920
 CHAIN = 20
-TUNNEL = 0.033
 cfg = LKConfig()
+_TUNNEL = None
+
+
+def TUNNEL_S() -> float:
+    """Measured per-fetch round-trip (session-dependent, 24-33 ms)."""
+    global _TUNNEL
+    if _TUNNEL is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        float(f(x))
+        reps = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(f(x))
+            reps.append(time.perf_counter() - t0)
+        _TUNNEL = sorted(reps)[len(reps) // 2]
+    return _TUNNEL
 
 
 def scene(rng, h, w, dx, dy):
@@ -62,7 +78,7 @@ def time_fn(fn, *args):
     for _ in range(5):
         t0 = time.perf_counter()
         float(chained(*args))
-        reps.append((time.perf_counter() - t0 - TUNNEL) / CHAIN)
+        reps.append((time.perf_counter() - t0 - TUNNEL_S()) / CHAIN)
     return sorted(reps)[len(reps) // 2] * 1e3
 
 
@@ -95,27 +111,43 @@ def main():
         print(f"pyr_down 540p: {time_fn(pyr_down, jnp.zeros((540,960))):7.3f} ms")
         return
 
-    img, nxt = scene(np.random.default_rng(1234), H, W, 3.7, -2.2)
     import cv2 as cv
 
-    ys, xs = np.mgrid[40:H - 40:16, 40:W - 40:16]
-    pts = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
-    p1, st, _ = cv.calcOpticalFlowPyrLK(
-        img.astype(np.uint8), nxt.astype(np.uint8), pts.reshape(-1, 1, 2),
-        None, winSize=(15, 15), maxLevel=2,
-        criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03))
-    cv_flow = p1.reshape(-1, 2) - pts
-    st = st.reshape(-1).astype(bool)
+    def cv_oracle(img, nxt):
+        ys, xs = np.mgrid[40:H - 40:16, 40:W - 40:16]
+        pts = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+        p1, st, _ = cv.calcOpticalFlowPyrLK(
+            img.astype(np.uint8), nxt.astype(np.uint8), pts.reshape(-1, 1, 2),
+            None, winSize=(15, 15), maxLevel=2,
+            criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03))
+        return pts, p1.reshape(-1, 2) - pts, st.reshape(-1).astype(bool)
+
+    # translation (the bench-gate scene), rotation, zoom
+    img_t, nxt_t = scene(np.random.default_rng(1234), H, W, 3.7, -2.2)
+    base = scene(np.random.default_rng(77), H, W, 0, 0)[0]
+    rot = cv.warpAffine(
+        base, cv.getRotationMatrix2D((W / 2, H / 2), 0.35, 1.0), (W, H),
+        flags=cv.INTER_LINEAR, borderMode=cv.BORDER_REFLECT_101)
+    zm = cv.warpAffine(
+        base, cv.getRotationMatrix2D((W / 2, H / 2), 0.0, 1.01), (W, H),
+        flags=cv.INTER_LINEAR, borderMode=cv.BORDER_REFLECT_101)
+    scenes = [("trans", img_t, nxt_t), ("rot", base, rot), ("zoom", base, zm)]
+    oracles = {name: cv_oracle(a, b) for name, a, b in scenes}
 
     schedules = [(2, 3, 6), (1, 3, 6), (1, 2, 6), (1, 2, 4), (2, 2, 4),
-                 (1, 4, 6), (1, 3, 4)]
+                 (1, 4, 6), (1, 3, 4), (1, 1, 6), (1, 1, 4), (1, 2, 3),
+                 (1, 2, 5)]
     for sched in schedules:
         d = DenseLKConfig(use_pallas_warp=True, iter_schedule=sched)
         ms = time_fn(
             lambda a, b, d=d: dense_pyramidal_lk(a, b, cfg, dense_cfg=d).flow,
             prev, nxt_r)
-        epe = epe_1080(d, img, nxt, cv_flow, st, pts)
-        print(f"sched {sched}: {ms:7.3f} ms ({1000/ms:6.1f} fps)  EPE {epe:.4f} px")
+        epes = []
+        for name, a, b in scenes:
+            pts, cvf, st = oracles[name]
+            epes.append(f"{name} {epe_1080(d, a, b, cvf, st, pts):.4f}")
+        print(f"sched {sched}: {ms:7.3f} ms ({1000 / ms:6.1f} fps)  "
+              f"EPE px: {'  '.join(epes)}")
 
 
 if __name__ == "__main__":

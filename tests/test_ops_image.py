@@ -122,6 +122,41 @@ class TestBoxSum:
                            borderType=cv.BORDER_CONSTANT)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-2)
 
+    def test_pyr_down_fast_matches_exact(self, rng):
+        from lk_tpu.ops.blur import pyr_down
+
+        img = _rand_u8(rng, (67, 101)).astype(np.float32)
+        exact = np.asarray(pyr_down(jnp.asarray(img)))
+        fast = np.asarray(pyr_down(jnp.asarray(img), fast=True))
+        # identical math; on TPU the fast path additionally rounds the data
+        # to bf16 once per pass (<= 0.5 intensity) — tolerance covers both
+        np.testing.assert_allclose(fast, exact, atol=1.0)
+        assert fast.shape == exact.shape == (34, 51)
+        # batched layout
+        xb = jnp.asarray(rng.random((2, 36, 52)).astype(np.float32) * 255)
+        np.testing.assert_allclose(
+            np.asarray(pyr_down(xb, fast=True)), np.asarray(pyr_down(xb)),
+            atol=1.0,
+        )
+
+    def test_matmul_form_matches_shifted_add(self, rng):
+        from lk_tpu.ops.boxfilter import box_sum, box_sum_matmul
+
+        img = _rand_u8(rng, (64, 96)).astype(np.float32)
+        for border in ("zero", "edge", "reflect"):
+            a = np.asarray(box_sum(jnp.asarray(img), (15, 9), border=border))
+            b = np.asarray(
+                box_sum_matmul(jnp.asarray(img), (15, 9), border=border)
+            )
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-2)
+        # batched layout preserved
+        xb = jnp.asarray(rng.random((3, 24, 40)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(box_sum(xb, (7, 5))),
+            np.asarray(box_sum_matmul(xb, (7, 5))),
+            rtol=1e-5, atol=1e-3,
+        )
+
 
 class TestRasterize:
     def test_roi_masks_close_to_fillpoly(self):
