@@ -66,6 +66,26 @@ class DenseLKConfig:
     # (static window stacking) costs ~0.4 ms at 1080p and only amortizes
     # over several iterations (measured: fused wins at x6, loses at x1-x2).
     fused_from_iters: int = 4
+    # Compute Scharr gradients + the structure tensor inside the fused level
+    # kernel (pallas_kernels.make_fused_lk_level_grads), with the five box
+    # sums as banded MXU matmuls: the XLA prologue shrinks from scharr +
+    # 3 full-frame box sums + det/eig elementwise to just padding, so the
+    # fused kernel pays off from ONE iteration (swept on v5e: 0.68 vs 0.73 ms
+    # at 1080p x1, 0.20 vs 0.27 at 540p x1, 0.18 vs 0.29 at 270p x6).  The
+    # MXU box sums round data to bf16 (EPE 0.0089 vs 0.0079 px at the 1080p
+    # gate).  Off = warp-only XLA glue + the precomputed-A fused kernel at
+    # >= fused_from_iters.
+    fused_grads_in_kernel: bool = True
+    # bf16 data for the bandwidth-bound stages of the XLA level path: the
+    # five 15x15 box sums (structure tensor + right-hand side) and the warp
+    # window DMA.  Accumulation error ~1e-2 relative; gate with bench's EPE.
+    bf16_box_sums: bool = False
+    bf16_warp_window: bool = False
+    # Static residual select range (±local px around the tile-reference
+    # displacement) for the Pallas warp/fused kernels; each unit costs
+    # ~2 select taps per axis per pixel.  See pallas_kernels.LOCAL for the
+    # speed/EPE sweep that chose the default.
+    warp_local: int = 6
     # Build the coarse-search pyramid with ops.blur.pyr_down(fast=True):
     # both filter+decimate passes as DEFAULT-precision banded MXU matmuls
     # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees

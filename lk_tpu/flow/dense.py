@@ -100,7 +100,14 @@ def dense_lk_level(
         # (th=64 everywhere: 630 fps; tall bands at the small levels: 595):
         # smallest padding wins — th=64 (1080 -> 1088, not -> 1152).
         h0_ = orig_hw[0]
-        if dense_cfg.use_pallas_fused and h0_ <= 272:
+        if dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
+            # grads kernel: tall bands win when they add no extra padding
+            # vs th=64 (swept: 1080p 0.68 vs 0.76 ms/level, 540p/270p same
+            # direction); fall back to 64 where 136 would pad more rows.
+            th = min(-(-h0_ // 8) * 8, 136)
+            if -(-h0_ // th) * th > -(-h0_ // 64) * 64:
+                th = 64
+        elif dense_cfg.use_pallas_fused and h0_ <= 272:
             th = min(-(-h0_ // 8) * 8, 136)  # fused 270p: 2 bands/iter
         else:
             th = 64
@@ -117,24 +124,45 @@ def dense_lk_level(
     else:
         tw = None
 
+    h, w = prev.shape[-2:]
+    eps2 = jnp.float32(cfg.eps * cfg.eps)
+    bound = jnp.float32(r_disp)
+
+    if dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
+        # Self-contained kernel: Scharr + A computed per tile in VMEM, no
+        # XLA prologue beyond padding (see make_fused_lk_level_grads).
+        from lk_tpu.flow.pallas_kernels import make_fused_lk_level_grads
+
+        assert win_w == win_h, "fused grads kernel needs a square window"
+        run = make_fused_lk_level_grads(
+            next_, prev, n_iters=dense_cfg.outer_iters,
+            min_eig_threshold=cfg.min_eig_threshold,
+            max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
+            local=dense_cfg.warp_local,
+        )
+        flow, min_eig, valid = run(flow_init.astype(jnp.float32))
+        h0, w0 = orig_hw
+        if flow.shape[:2] != (h0, w0):
+            flow = flow[:h0, :w0]
+            min_eig = min_eig[:h0, :w0]
+            valid = valid[:h0, :w0]
+        return DenseFlowResult(flow=flow, min_eig=min_eig, valid=valid)
+
     ix, iy = scharr_derivatives(prev)
+    sum_dtype = jnp.bfloat16 if dense_cfg.bf16_box_sums else jnp.float32
     # The fused kernel's b sums see edge-replicated halos at frame borders;
     # A must use the same border policy or border solves are inconsistent
     # (measured: up to 5.7 px border garbage diffusing ~16 px inward/iter).
     a_border = "edge" if dense_cfg.use_pallas_fused else "zero"
-    a11 = box_sum(ix * ix, win, border=a_border)
-    a12 = box_sum(ix * iy, win, border=a_border)
-    a22 = box_sum(iy * iy, win, border=a_border)
+    a11 = box_sum(ix * ix, win, border=a_border, sum_dtype=sum_dtype)
+    a12 = box_sum(ix * iy, win, border=a_border, sum_dtype=sum_dtype)
+    a22 = box_sum(iy * iy, win, border=a_border, sum_dtype=sum_dtype)
     det = a11 * a22 - a12 * a12
     min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
         2.0 * area
     )
     valid = (min_eig >= cfg.min_eig_threshold * _MIN_EIG_SCALE) & (det > 1e-7)
     inv_det = jnp.where(valid, 1.0 / det, 0.0)
-
-    h, w = prev.shape[-2:]
-    eps2 = jnp.float32(cfg.eps * cfg.eps)
-    bound = jnp.float32(r_disp)
 
     if dense_cfg.use_pallas_fused:
         from lk_tpu.flow.pallas_kernels import make_fused_lk_level
@@ -143,6 +171,7 @@ def dense_lk_level(
             next_, prev, ix, iy, a11, a12, a22, inv_det,
             n_iters=dense_cfg.outer_iters,
             max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
+            local=dense_cfg.warp_local,
         )
         flow = run(flow_init.astype(jnp.float32))
         h0, w0 = orig_hw
@@ -158,7 +187,10 @@ def dense_lk_level(
             from lk_tpu.flow.pallas_kernels import pallas_local_warp
 
             jw = pallas_local_warp(
-                next_, flow, max_disp=r_disp, tile_h=th, tile_w=tw
+                next_, flow, max_disp=r_disp, tile_h=th, tile_w=tw,
+                local=dense_cfg.warp_local,
+                window_dtype=(jnp.bfloat16 if dense_cfg.bf16_warp_window
+                              else jnp.float32),
             )
         else:
             jw = shift_select_warp(next_, flow, (r_disp, r_disp))
@@ -169,8 +201,10 @@ def dense_lk_level(
         # box sums per iteration instead of 6 and no warped-gradient Scharr.
         # Measured: equal-or-better EPE than the warped-gradient form.
         r = jw - prev - (ix * flow[..., 0] + iy * flow[..., 1])
-        b1 = box_sum(ix * r, win) + a11 * flow[..., 0] + a12 * flow[..., 1]
-        b2 = box_sum(iy * r, win) + a12 * flow[..., 0] + a22 * flow[..., 1]
+        b1 = (box_sum(ix * r, win, sum_dtype=sum_dtype)
+              + a11 * flow[..., 0] + a12 * flow[..., 1])
+        b2 = (box_sum(iy * r, win, sum_dtype=sum_dtype)
+              + a12 * flow[..., 0] + a22 * flow[..., 1])
         du = (a12 * b2 - a22 * b1) * inv_det
         dv = (a12 * b1 - a11 * b2) * inv_det
         upd = active & valid
@@ -281,10 +315,14 @@ def dense_pyramidal_lk(
             h, w = prev_levels[level].shape[-2:]
             flow = _upsample_flow(flow, h, w)
         n_it = dense_cfg.level_iters(level)
-        # Levels with enough iterations amortize the fused kernel's setup;
-        # 1-2 iteration levels stay on the lighter warp-only path.
+        # Levels with enough iterations amortize the precomputed-A fused
+        # kernel's setup; 1-2 iteration levels stay on the lighter warp-only
+        # path — unless the grads-in-kernel variant (no XLA prologue, pays
+        # off from one iteration) is enabled.
         fuse = dense_cfg.use_pallas_fused or (
-            dense_cfg.use_pallas_warp and n_it >= dense_cfg.fused_from_iters
+            dense_cfg.use_pallas_warp
+            and (dense_cfg.fused_grads_in_kernel
+                 or n_it >= dense_cfg.fused_from_iters)
         )
         level_cfg = dataclasses.replace(
             dense_cfg, outer_iters=n_it, use_pallas_fused=fuse

@@ -134,8 +134,10 @@ def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
     dxi = dxi.astype(jnp.int32)
 
     dma.wait()
-    # undo the column alignment: rotate window left by extra_x lanes
-    win = pltpu.roll(scratch[:], shift=-extra_x, axis=1)
+    # undo the column alignment: rotate window left by extra_x lanes.
+    # Widen BEFORE the roll: a bf16 window halves the DMA, but Mosaic's
+    # dynamic rotate only implements 32-bit data.
+    win = pltpu.roll(scratch[:].astype(jnp.float32), shift=-extra_x, axis=1)
 
     vw = tw + 2 * local + 1   # columns the horizontal pass consumes
 
@@ -180,11 +182,14 @@ def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
 def pallas_local_warp(
     next_img: jnp.ndarray, flow: jnp.ndarray, max_disp: int = 32,
     tile_h: int = TILE_H, tile_w: int = TILE_W, local: int = LOCAL,
+    window_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """out(p) = next(p + clamp(flow(p), ±max_disp)) bilinear.
 
     H % tile_h == 0 and W % tile_w == 0 required (flow.dense pads).
     Per-tile residual displacement beyond ±local of the reference clamps.
+    window_dtype=bfloat16 halves the per-tile window DMA (the image is
+    0..255, so bf16 rounds intensities by <= 0.5); selects/lerp stay f32.
     """
     h, w = next_img.shape
     assert h % tile_h == 0 and w % tile_w == 0, (h, w)
@@ -192,7 +197,7 @@ def pallas_local_warp(
     # pad generously: alignment can move the window down/right by up to the
     # rounding slack, and the aligned window shape exceeds the logical one
     pad = max_disp + local + 1 + max(sh, sw - tile_w)
-    padded = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
+    padded = jnp.pad(next_img.astype(window_dtype), pad, mode="edge")
     grid = (h // tile_h, w // tile_w)
     kernel = functools.partial(
         _warp_kernel, h=h, w=w, pad=pad, max_disp=max_disp,
@@ -212,7 +217,7 @@ def pallas_local_warp(
         out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((sh, sw), window_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(padded, flow[..., 0].astype(jnp.float32),
@@ -371,6 +376,296 @@ def _fused_level_kernel(
     )
     dma_o.start()
     dma_o.wait()
+
+
+def _boxsum_tile(p, win_k: int, tile_h: int, tile_w: int):
+    """win_k x win_k box sum of the extended-region array ``p`` evaluated at
+    the tile pixels (ext row 8+r == tile row r; offsets 1..win_k stay in
+    bounds for win_k <= 15 given _HALO == 8)."""
+    v = None
+    for d in range(win_k):
+        t = p[1 + d:1 + d + tile_h, :]
+        v = t if v is None else v + t
+    out = None
+    for d in range(win_k):
+        t = v[:, 1 + d:1 + d + tile_w]
+        out = t if out is None else out + t
+    return out
+
+
+def _boxsum_tile_mxu(p, win_k: int, tile_h: int, tile_w: int):
+    """win_k x win_k box sum of the extended-region array ``p`` at the tile
+    pixels, as two banded matmuls on the MXU: out = R @ (p @ C) with 0/1
+    band matrices built from iota (R[r, j] = [j in r+1 .. r+win_k]).
+
+    The shifted-add form costs win_k lane-offset slices per axis — each a
+    vector relayout in Mosaic (measured: 5 such box sums dominate the fused
+    kernel).  The band matrices are exact in bf16, so casting the *data*
+    once to bf16 runs the MXU at full rate with f32 accumulation
+    (preferred_element_type); the data rounding is <= 1e-2 relative, gated
+    end-to-end by bench.py's EPE check.
+    """
+    eth, etw = p.shape
+    jc = jax.lax.broadcasted_iota(jnp.int32, (etw, tile_w), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (etw, tile_w), 1)
+    cmat = ((jc >= ic + 1) & (jc <= ic + win_k)).astype(jnp.bfloat16)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (tile_h, eth), 0)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, eth), 1)
+    rmat = ((jr >= ir + 1) & (jr <= ir + win_k)).astype(jnp.bfloat16)
+    pc = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), cmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.dot_general(
+        rmat, pc.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fused_level_grads_kernel(
+    next_hbm, prev_hbm, flowbuf_hbm,
+    out_hbm, stats_hbm,
+    win_scratch, prev_scratch, flow_scratch, out_tile, sems,
+    *, h, w, pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    area_f, eig_thr,
+):
+    """Self-contained fused IC iteration: Scharr gradients and the structure
+    tensor are computed in-kernel from a single prev window, so a level call
+    reads ONLY next/prev/flow from HBM — no XLA scharr pass, no A box sums,
+    no (3, H, W) static stack.  Grid/ping-pong semantics identical to
+    ``_fused_level_kernel``; additionally writes (min_eig, valid) tiles to
+    ``stats_hbm`` at iteration 0 so DenseFlowResult stays complete.
+    """
+    k = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    src = (k % 2) * 2
+    dst = 2 - src
+
+    row0 = pl.multiple_of(y0, 8)
+    col0 = pl.multiple_of(x0, 128)
+    # prev window: rows padded 16/16 in HBM (buffer row y0 == frame row
+    # y0-16); +-9 of the ext region for the Scharr stencil lands inside
+    # the (tile_h + 32, etw_dma_p) slice.
+    dma_p = pltpu.make_async_copy(
+        prev_hbm.at[pl.ds(row0, tile_h + 32),
+                    pl.ds(col0, prev_scratch.shape[-1])],
+        prev_scratch, sems.at[0],
+    )
+    dma_p.start()
+
+    @pl.when(k == 0)
+    def _():
+        d = pltpu.make_async_copy(
+            flowbuf_hbm.at[
+                pl.ds(src, 2), pl.ds(row0, eth), pl.ds(col0, etw_dma)
+            ],
+            flow_scratch, sems.at[1],
+        )
+        d.start()
+        d.wait()
+
+    @pl.when(k > 0)
+    def _():
+        d = pltpu.make_async_copy(
+            out_hbm.at[
+                pl.ds(src, 2), pl.ds(row0, eth), pl.ds(col0, etw_dma)
+            ],
+            flow_scratch, sems.at[1],
+        )
+        d.start()
+        d.wait()
+
+    c0 = 128 - _HALO
+    fx_w = flow_scratch[0, :, c0:c0 + etw]
+    fy_w = flow_scratch[1, :, c0:c0 + etw]
+
+    # warp first: its window DMA overlaps the prev-window wait
+    jw = _warp_core(
+        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[2],
+        h=h, w=w, pad=pad, max_disp=max_disp, th=eth, tw=etw, local=local,
+        ref_cy=eth // 2, ref_cx=etw // 2,
+    )
+    dma_p.wait()
+
+    # --- Scharr on the extended region, in VMEM ------------------------------
+    # ext row e == scratch row e+8; ext col j == scratch col j+120.
+    # smooth [3,10,3]/16 cross diff [-1,0,1]/2 (ops/gradients.py); frame-border
+    # halos carry edge replication (pad_ext) instead of REFLECT_101 — a
+    # border-radius-only deviation, same class as the fused b-sum halos.
+    p = prev_scratch[:]
+    sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+          + 10.0 * p[8:8 + eth, 119:121 + etw]
+          + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+    ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+    sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+          + 10.0 * p[7:9 + eth, 120:120 + etw]
+          + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+    iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+    prev_w = p[8:8 + eth, 120:120 + etw]
+
+    # --- structure tensor + gating, per tile ---------------------------------
+    a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
+    a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
+    a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
+    det = a11 * a22 - a12 * a12
+    min_eig = (a11 + a22 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * area_f
+    )
+    solvable = det > 1e-7
+    validf = jnp.where((min_eig >= eig_thr) & solvable, 1.0, 0.0)
+    invd = validf / jnp.where(solvable, det, 1.0)
+
+    tw_dma_out = out_tile.shape[-1]
+
+    def extend_cols(a):
+        if tw_dma_out == tile_w:
+            return a
+        ext = tw_dma_out - tile_w
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:, -1:], (tile_h, ext))], axis=1
+        )
+
+    @pl.when(k == 0)
+    def _():
+        out_tile[0] = extend_cols(min_eig)
+        out_tile[1] = extend_cols(validf)
+        d = pltpu.make_async_copy(
+            out_tile,
+            stats_hbm.at[
+                pl.ds(0, 2),
+                pl.ds(row0, tile_h),
+                pl.ds(pl.multiple_of(x0 + 128, 128), tw_dma_out),
+            ],
+            sems.at[3],
+        )
+        d.start()
+        d.wait()   # out_tile is reused for the flow write below
+
+    # --- IC residual, b sums, solve ------------------------------------------
+    r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
+    b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
+    b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
+    fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    b1 = b1 + a11 * fx_t + a12 * fy_t
+    b2 = b2 + a12 * fx_t + a22 * fy_t
+    du = (a12 * b2 - a22 * b1) * invd
+    dv = (a12 * b1 - a11 * b2) * invd
+    bound = jnp.float32(bound_f)
+    fx_new = extend_cols(jnp.clip(fx_t + du, -bound, bound))
+    fy_new = extend_cols(jnp.clip(fy_t + dv, -bound, bound))
+    out_tile[0] = fx_new
+    out_tile[1] = fy_new
+
+    dma_o = pltpu.make_async_copy(
+        out_tile,
+        out_hbm.at[
+            pl.ds(dst, 2),
+            pl.ds(pl.multiple_of(y0 + _HALO, 8), tile_h),
+            pl.ds(pl.multiple_of(x0 + 128, 128), tw_dma_out),
+        ],
+        sems.at[3],
+    )
+    dma_o.start()
+    dma_o.wait()
+
+
+def make_fused_lk_level_grads(
+    next_img: jnp.ndarray,
+    prev_img: jnp.ndarray,
+    n_iters: int,
+    min_eig_threshold: float,
+    max_disp: int = 32,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    local: int = LOCAL,
+    win_k: int = 15,
+):
+    """Build run(flow_init) -> (flow, min_eig, valid): n_iters fused IC
+    iterations with Scharr + structure tensor computed in-kernel.
+
+    Unlike ``make_fused_lk_level`` this needs no precomputed ix/iy/A — the
+    XLA prologue shrinks to padding prev/next, so it pays off from ONE
+    iteration (the precomputed-A kernel only amortizes at >=4).  HBM traffic
+    per iteration: prev+warp+flow windows in, one flow tile out.
+
+    min_eig_threshold is in OpenCV units (scaled by 1024 like flow/dense.py).
+    Requires a square window (win_k x win_k) and win_k <= 2*_HALO - 1.
+    """
+    h, w = next_img.shape
+    assert h % tile_h == 0 and w % tile_w == 0, (h, w)
+    assert tile_h % 8 == 0 and _HALO == 8 and win_k <= 2 * _HALO - 1
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    # the Scharr stencil reads one col beyond the ext region: ensure the
+    # prev DMA width strictly covers scratch col (tile_w + 136)
+    etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
+    sh, sw = _win_shape(eth, etw, local)
+    pad = max_disp + local + 1 + max(sh, sw - etw)
+    next_pad = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
+    prev_ext = jnp.pad(prev_img.astype(jnp.float32), ((16, 16), (128, 256)),
+                       mode="edge")
+
+    gy = _HALO
+    hext = h + 2 * gy
+    wext = w + 128 + 256
+
+    grid = (n_iters, h // tile_h, w // tile_w)
+    kernel = functools.partial(
+        _fused_level_grads_kernel, h=h, w=w, pad=pad, max_disp=max_disp,
+        tile_h=tile_h, tile_w=tile_w, local=local, win_k=win_k,
+        bound_f=float(max_disp), area_f=float(win_k * win_k),
+        eig_thr=float(min_eig_threshold) * 1024.0,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, hext, wext), jnp.float32),
+            jax.ShapeDtypeStruct((2, h, wext), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded next
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded prev
+            pl.BlockSpec(memory_space=pltpu.HBM),   # flow ping-pong (aliased)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((tile_h + 32, etw_dma_p), jnp.float32),
+            pltpu.VMEM((2, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((2, tile_h, -(-tile_w // 128) * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={2: 0},
+    )
+
+    def pad_flow(x):
+        return jnp.pad(x.astype(jnp.float32), ((gy, gy), (128, 256)),
+                       mode="edge")
+
+    def run(flow_init: jnp.ndarray):
+        fx = pad_flow(flow_init[..., 0])
+        fy = pad_flow(flow_init[..., 1])
+        buf = jnp.stack([fx, fy, fx, fy])
+        out, stats = call(next_pad, prev_ext, buf)
+        s = 2 * (n_iters % 2)
+        flow = jnp.moveaxis(out[s:s + 2, gy:gy + h, 128:128 + w], 0, -1)
+        min_eig = stats[0, :, 128:128 + w]
+        valid = stats[1, :, 128:128 + w] > 0.5
+        return flow, min_eig, valid
+
+    return run
 
 
 def make_fused_lk_level(

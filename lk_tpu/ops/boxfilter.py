@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 
 def box_sum(
-    x: jnp.ndarray, win: Tuple[int, int], border: str = "zero"
+    x: jnp.ndarray, win: Tuple[int, int], border: str = "zero",
+    sum_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """SAME windowed sum over trailing (H, W) axes.
 
@@ -31,11 +32,19 @@ def box_sum(
     pixel) rather than lax.reduce_window (win_h * win_w adds — XLA does not
     separate box windows; the 15x15 window is the dense-LK hot loop's single
     biggest cost when done naively).
+
+    sum_dtype=bfloat16 halves the HBM traffic of both passes (the op is
+    bandwidth-bound at frame sizes); ~3 decimal digits survive the 15-term
+    sums — callers must tolerate ~1e-2 relative error.  Output cast back to
+    the input's float dtype (f32 for integer inputs).
     """
     win_w, win_h = win
     pad_h = ((win_h - 1) // 2, win_h // 2)
     pad_w = ((win_w - 1) // 2, win_w // 2)
-    x = x.astype(jnp.float32)
+    out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else (
+        jnp.float32
+    )
+    x = x.astype(sum_dtype)
     mode = {"zero": "constant", "reflect": "reflect", "edge": "edge"}[border]
 
     def axis_sum(a: jnp.ndarray, k: int, pad, axis: int) -> jnp.ndarray:
@@ -52,7 +61,7 @@ def box_sum(
         return out
 
     y = axis_sum(x, win_h, pad_h, x.ndim - 2)
-    return axis_sum(y, win_w, pad_w, x.ndim - 1)
+    return axis_sum(y, win_w, pad_w, x.ndim - 1).astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=64)

@@ -82,18 +82,29 @@ def main():
     f0 = jnp.zeros((h, w, 2), jnp.float32)
     a = jnp.asarray(img)
     b = jnp.asarray(nxt)
-    d_f1 = DenseLKConfig(outer_iters=1, use_pallas_fused=True)
+    d_f1 = DenseLKConfig(outer_iters=1, use_pallas_fused=True,
+                         fused_grads_in_kernel=False)
     refl = np.asarray(dense_lk_level(
         a, b, f0, LKConfig(),
         DenseLKConfig(outer_iters=1, use_pallas_warp=True,
-                      fused_from_iters=99),
+                      fused_from_iters=99, fused_grads_in_kernel=False),
         max_disp=8).flow)
     fus1 = dense_lk_level(a, b, f0, LKConfig(), d_f1, max_disp=8).flow
     check("fused x1 vs XLA glue @1080p",
           np.abs(refl - np.asarray(fus1))[32:-32, 32:-32].max(), 1e-3)
+    # (c) grads-in-kernel variant (Scharr + A + MXU box sums in VMEM):
+    #     bf16-rounded by design — checked at its design tolerance
+    gr1 = np.asarray(dense_lk_level(
+        a, b, f0, LKConfig(),
+        DenseLKConfig(outer_iters=1, use_pallas_fused=True,
+                      fused_grads_in_kernel=True),
+        max_disp=8).flow)
+    check("grads-fused x1 vs XLA glue @1080p (bf16 sums)",
+          np.abs(refl - gr1)[32:-32, 32:-32].max(), 0.03)
     fus2 = np.asarray(dense_lk_level(
         a, b, f0, LKConfig(),
-        DenseLKConfig(outer_iters=2, use_pallas_fused=True),
+        DenseLKConfig(outer_iters=2, use_pallas_fused=True,
+                      fused_grads_in_kernel=False),
         max_disp=8).flow)
     chain = np.asarray(dense_lk_level(
         a, b, fus1, LKConfig(), d_f1, max_disp=8).flow)

@@ -73,6 +73,63 @@ def test_close_stops_producer():
     assert not pf._thread.is_alive()
 
 
+def test_first_extra_chunk_sizes():
+    got = list(ChunkPrefetcher(_frames(10), chunk=3, first_extra=1))
+    assert [g.shape[0] for g in got] == [4, 3, 3]
+
+
+class TestMultiStreamPrefetcher:
+    def test_batches_match_sync_stack(self):
+        from lk_tpu.io.prefetch import MultiStreamPrefetcher
+
+        streams = [list(_frames(9, h=4, w=5)) for _ in range(3)]
+        for b, s in enumerate(streams):       # make streams distinguishable
+            for f in s:
+                f[..., 1] = b
+        got = list(MultiStreamPrefetcher(
+            [iter(s) for s in streams], chunk=4, first_extra=1
+        ))
+        assert [g.shape[:2] for g in got] == [(3, 5), (3, 4)]
+        for i, g in enumerate(got):
+            for b in range(3):
+                start = [0, 5][i]
+                ref = np.stack(streams[b][start:start + g.shape[1]])
+                np.testing.assert_array_equal(g[b], ref)
+
+    def test_batch_transform_and_busy_accounting(self):
+        from lk_tpu.io.prefetch import MultiStreamPrefetcher
+
+        mp = MultiStreamPrefetcher(
+            [_frames(6, sleep=0.002) for _ in range(2)], chunk=3,
+            batch_transform=lambda b: b.astype(np.float32) + 1.0,
+        )
+        got = list(mp)
+        assert got[0].dtype == np.float32
+        assert got[0][0, 0, 0, 0, 0] == 1.0
+        assert mp.decode_busy_s > 0.0
+
+    def test_ragged_streams_truncate_to_shortest(self):
+        from lk_tpu.io.prefetch import MultiStreamPrefetcher
+
+        got = list(MultiStreamPrefetcher(
+            [_frames(7), _frames(5)], chunk=3
+        ))
+        # chunk 0: both full (3); chunk 1: (3) vs (2) -> truncated to 2;
+        # stream 2 then ends, so the 7-frame stream's tail is dropped
+        assert [g.shape[:2] for g in got] == [(2, 3), (2, 2)]
+
+    def test_close_stops_all_threads(self):
+        from lk_tpu.io.prefetch import MultiStreamPrefetcher
+
+        mp = MultiStreamPrefetcher(
+            [_frames(10_000, sleep=0.001) for _ in range(2)], chunk=2,
+        )
+        next(iter(mp))
+        mp.close()
+        assert not mp._thread.is_alive()
+        assert all(not p._thread.is_alive() for p in mp._pfs)
+
+
 def test_pipeline_prefetch_matches_sync():
     """VideoPipeline.run(prefetch=N) == the synchronous path, row for row."""
     from lk_tpu.config import PipelineConfig

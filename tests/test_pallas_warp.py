@@ -75,7 +75,8 @@ class TestPallasLocalWarp:
         fused = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
                                LKConfig(),
                                DenseLKConfig(outer_iters=1,
-                                             use_pallas_fused=True),
+                                             use_pallas_fused=True,
+                                             fused_grads_in_kernel=False),
                                max_disp=8).flow
         d = np.abs(np.asarray(ref) - np.asarray(fused))
         assert d[16:-16, 16:-16].max() < 1e-3, d[16:-16, 16:-16].max()
@@ -108,13 +109,81 @@ class TestPallasLocalWarp:
         fused = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
                                LKConfig(),
                                DenseLKConfig(outer_iters=2,
-                                             use_pallas_fused=True),
+                                             use_pallas_fused=True,
+                                             fused_grads_in_kernel=False),
                                max_disp=8).flow
         d = np.abs(np.asarray(ref) - np.asarray(fused))
         # interior crop: the XLA path's per-pixel eps freeze and per-iter
         # halo re-replication differ within ~2 window radii of the edge;
         # the remaining interior difference is the eps-freeze semantics
         assert d[32:-32, 32:-32].max() < 0.1, d[32:-32, 32:-32].max()
+
+    @pytest.mark.parametrize("iters", [1, 2])
+    def test_fused_grads_kernel_matches_xla(self, rng, iters):
+        """The self-contained kernel (Scharr + A in-kernel) == the XLA path
+        in the interior, including the min_eig/valid stats outputs."""
+        import cv2 as cv
+
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow.dense import dense_lk_level
+
+        h, w = 128, 384
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        m = np.float32([[1, 0, 2.0], [0, 1, 1.5]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        flow0 = jnp.zeros((h, w, 2), jnp.float32)
+        # like-for-like reference at iters=2: XLA glue around the pallas warp
+        ref_cfg = DenseLKConfig(outer_iters=iters,
+                                use_pallas_warp=(iters > 1))
+        ref = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                             LKConfig(), ref_cfg, max_disp=8)
+        fused = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                               LKConfig(),
+                               DenseLKConfig(outer_iters=iters,
+                                             use_pallas_fused=True,
+                                             fused_grads_in_kernel=True),
+                               max_disp=8)
+        c = 32
+        d = np.abs(np.asarray(ref.flow) - np.asarray(fused.flow))
+        # the kernel's MXU box sums round data to bf16 (~1e-2 relative by
+        # design, gated end-to-end by bench.py's EPE check)
+        tol = 0.02 if iters == 1 else 0.1
+        assert d[c:-c, c:-c].max() < tol, d[c:-c, c:-c].max()
+        # A borders differ (zero vs edge) only within the window radius;
+        # magnitudes carry the same bf16 rounding
+        np.testing.assert_allclose(
+            np.asarray(fused.min_eig)[c:-c, c:-c],
+            np.asarray(ref.min_eig)[c:-c, c:-c], rtol=2e-2, atol=1e-2,
+        )
+        # validity may flip only where min_eig sits on the threshold
+        vr = np.asarray(ref.valid)[c:-c, c:-c]
+        vf = np.asarray(fused.valid)[c:-c, c:-c]
+        assert (vf != vr).mean() < 0.01, (vf != vr).mean()
+
+    def test_fused_grads_pyramid_epe(self, rng):
+        """Full pyramid with every level on the grads kernel tracks a known
+        shift to sub-0.1 px (the bench gate's criterion, tiny geometry)."""
+        import cv2 as cv
+
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow.dense import dense_pyramidal_lk
+
+        h, w = 128, 256
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        m = np.float32([[1, 0, 3.0], [0, 1, -2.0]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        res = dense_pyramidal_lk(
+            jnp.asarray(img), jnp.asarray(nxt), LKConfig(max_level=2),
+            dense_cfg=DenseLKConfig(use_pallas_warp=True,
+                                    fused_grads_in_kernel=True),
+        )
+        flow = np.asarray(res.flow)[16:-16, 16:-16]
+        err = np.hypot(flow[..., 0] - 3.0, flow[..., 1] + 2.0)
+        assert err.mean() < 0.1, err.mean()
 
     def test_residual_clamp_behavior(self, rng):
         """Flow deviating more than `local` from the tile reference clamps."""
