@@ -83,9 +83,12 @@ class DenseLKConfig:
     bf16_warp_window: bool = False
     # Static residual select range (±local px around the tile-reference
     # displacement) for the Pallas warp/fused kernels; each unit costs
-    # ~2 select taps per axis per pixel.  See pallas_kernels.LOCAL for the
-    # speed/EPE sweep that chose the default.
-    warp_local: int = 6
+    # ~2 select taps per axis per pixel.  Swept on v5e (6/5/4 at th=136):
+    # 5 is 7% faster than 6 at 1080p with EPE equal-or-better on mild
+    # scenes (gate 0.0076 vs 0.0089, rot 0.049 vs 0.056, zoom 0.026 vs
+    # 0.030) and <= 0.03 px worse in the failure-regime strong-zoom scenes
+    # where OpenCV itself scores 2-4 px; 4 gives up ~0.08 px there.
+    warp_local: int = 5
     # Build the coarse-search pyramid with ops.blur.pyr_down(fast=True):
     # both filter+decimate passes as DEFAULT-precision banded MXU matmuls
     # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees

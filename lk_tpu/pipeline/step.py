@@ -95,23 +95,40 @@ def make_step(
     masks_per_group = sub_masks.shape[0] // g
     fcfg = cfg.features
 
+    # Corners can only land inside the (static) ROI sub-masks, so both the
+    # response map and the greedy argmax/suppression loops run on the ROI's
+    # bounding box, not the full frame — the response needs a stencil halo,
+    # and the crop aligns to (8, 128) so the slice is a plain tile copy.
+    # (Measured at 860x482/B=32: detection was 61% of the serving step.)
+    import numpy as _np
+
+    _sub_np = _np.asarray(sub_masks) > 0
+    _ys, _xs = _np.where(_sub_np.any(0))
+    _halo = fcfg.block_size // 2 + 2
+    _y0 = (max(int(_ys.min()) - _halo, 0) // 8) * 8
+    _x0 = (max(int(_xs.min()) - _halo, 0) // 128) * 128
+    _y1 = min(-(-(int(_ys.max()) + 1 + _halo) // 8) * 8, height)
+    _x1 = min(-(-(int(_xs.max()) + 1 + _halo) // 128) * 128, width)
+    _crop_off = jnp.asarray([_x0, _y0], jnp.float32)
+    sub_masks_crop = sub_masks[:, _y0:_y1, _x0:_x1]
+
     def detect(gray: jnp.ndarray):
         """Per-group corner pools in sub-mask order (LK_Final.py:481-492)."""
-        resp = min_eig_response(gray, fcfg.block_size)
+        resp = min_eig_response(gray[_y0:_y1, _x0:_x1], fcfg.block_size)
         pts_groups = []
         valid_groups = []
         for gi in range(g):
             xs, vs = [], []
             for mi in range(masks_per_group):
                 xy, val = good_features_from_response(
-                    resp, sub_masks[gi * masks_per_group + mi], fcfg
+                    resp, sub_masks_crop[gi * masks_per_group + mi], fcfg
                 )
-                xs.append(xy)
+                xs.append(xy + _crop_off)
                 vs.append(val)
             pxy = jnp.concatenate(xs, axis=0)
             pval = jnp.concatenate(vs, axis=0)
             pxy, pval = compact_slots(pxy, pval)
-            pts_groups.append(pxy[:s])
+            pts_groups.append(jnp.where(pval[:s, None], pxy[:s], 0.0))
             valid_groups.append(pval[:s])
         return jnp.stack(pts_groups), jnp.stack(valid_groups)
 
