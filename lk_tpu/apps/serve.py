@@ -48,7 +48,17 @@ def main(argv=None):
     args = p.parse_args(argv)
     enable_compilation_cache()
 
+    import dataclasses
+
+    import jax
+
     cfg = PipelineConfig()
+    if jax.default_backend() != "cpu":
+        # Pallas window gather for the batched tracker (TPU-only Mosaic
+        # kernel; the vmapped dynamic_slice path stays for CPU/tests)
+        cfg = dataclasses.replace(
+            cfg, lk=dataclasses.replace(cfg.lk, pallas_windows=True)
+        )
     scenes = [
         SyntheticRoadStream(width=args.width, height=args.height,
                             n_frames=args.frames, seed=s,

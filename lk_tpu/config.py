@@ -23,6 +23,12 @@ class LKConfig:
     max_iters: int = 10                   # TERM_CRITERIA_COUNT
     eps: float = 0.03                     # TERM_CRITERIA_EPS on |delta|
     min_eig_threshold: float = 1e-4       # OpenCV minEigThreshold default
+    # Fetch per-point windows in track_points_batched with the Pallas gather
+    # kernel (pipelined DMAs) instead of vmapped dynamic_slice (which lowers
+    # to ~2-3.5 us serialized fetches and dominated the batched tracker —
+    # measured 8.8 ms fixed cost at B=32xN=20).  Identical math; requires a
+    # TPU backend (the serving apps enable it there).
+    pallas_windows: bool = False
 
     @property
     def half_win(self) -> Tuple[float, float]:

@@ -150,22 +150,29 @@ def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
     # only reads column c + dxi(c) for output column c, where rel_y's column
     # mismatch is the same second-order flow-Jacobian term as the separable
     # XLA warp's.
-    acc0 = jnp.zeros((th, vw), jnp.float32)
-    acc1 = jnp.zeros((th, vw), jnp.float32)
-    for d in range(2 * local + 8):
-        sel_w = widen((dyi == d).astype(jnp.float32))
-        acc0 = acc0 + sel_w * win[d:d + th, :vw]
-        acc1 = acc1 + sel_w * win[d + 1:d + 1 + th, :vw]
-    fy_w = widen(fy_frac)
-    vert = acc0 + fy_w * (acc1 - acc0)   # (th, vw)
+    # Both passes fold the bilinear pair into ONE merged-weight tap per
+    # offset — m_d = [dyi==d](1-f) + [dyi==d-1]f — instead of two
+    # accumulators over adjacent slices: each tap's sliced read is a Mosaic
+    # relayout (lane shifts for the horizontal pass), and merging halves
+    # the slice count (2(2L+8) -> 2L+9 reads).  Algebraically identical:
+    # sum(m_d w_d) = (1-f)acc0 + f acc1.
+    omf = 1.0 - fy_frac
+    acc = jnp.zeros((th, vw), jnp.float32)
+    for d in range(2 * local + 9):
+        m = (dyi == d).astype(jnp.float32) * omf
+        if d > 0:
+            m = m + (dyi == d - 1).astype(jnp.float32) * fy_frac
+        acc = acc + widen(m) * win[d:d + th, :vw]
+    vert = acc                           # (th, vw)
 
-    o0 = jnp.zeros((th, tw), jnp.float32)
-    o1 = jnp.zeros((th, tw), jnp.float32)
-    for d in range(2 * local + 1):
-        sel = (dxi == d).astype(jnp.float32)
-        o0 = o0 + sel * vert[:, d:d + tw]
-        o1 = o1 + sel * vert[:, d + 1:d + 1 + tw]
-    return o0 + fx_frac * (o1 - o0)
+    omx = 1.0 - fx_frac
+    out = jnp.zeros((th, tw), jnp.float32)
+    for d in range(2 * local + 2):
+        m = (dxi == d).astype(jnp.float32) * omx
+        if d > 0:
+            m = m + (dxi == d - 1).astype(jnp.float32) * fx_frac
+        out = out + m * vert[:, d:d + tw]
+    return out
 
 
 def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
@@ -760,3 +767,106 @@ def make_fused_lk_level(
         return jnp.moveaxis(flow, 0, -1)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Batched per-point window gather for the sparse tracker
+# ---------------------------------------------------------------------------
+
+_GK = 16         # points per grid step (all 2*_GK DMAs in flight)
+_PW_ROWS = 32    # aligned prev-window rows ((win+1)<=25 + 7 align slack)
+_SW_ROWS2 = 40   # aligned superwindow rows (32 + 8 align slack)
+_GW = 256        # DMA width: 128-aligned cols + <=175 used
+
+
+def make_point_window_gather(
+    stack3: jnp.ndarray,       # (3, FH, FW) prev/ix/iy, folded frames
+    next_f: jnp.ndarray,       # (FH, FW) folded next frames
+):
+    """Build gather(starts) -> (prev_wins, sw_wins) fetching per-point
+    windows with pipelined Pallas DMAs.
+
+    The XLA path's per-point ``vmap(dynamic_slice)`` lowers to ~2-3.5 us
+    serialized fetches — 3,840 of them per 32-stream frame dominated the
+    whole tracker (measured 8.8 ms fixed cost, iteration-count independent).
+    Here a grid step fetches windows for 8 points with all 16 DMAs in
+    flight at once, undoes the 128-lane alignment with a dynamic roll, and
+    lets Mosaic pipeline the output writes across grid steps.
+
+    starts: (6, NP) int32 — [prev_row_al, prev_col_al, sw_row_al,
+    sw_col_al, prev_col_extra, sw_col_extra]; *_al rows 8-aligned, cols
+    128-aligned, in-bounds for a (24/40, 256) slice (caller pads the
+    images); NP % 8 == 0.
+
+    Returns prev_wins (NP, 3, 32, 128) — rows still carry the 0..7 row
+    remainder (caller folds it into its vertical lerp taps), cols start at
+    the exact requested column — and sw_wins (NP, 40, 128) likewise.
+    """
+    fh, fw = next_f.shape
+    assert stack3.shape == (3, fh, fw), (stack3.shape, next_f.shape)
+    assert fh % 8 == 0 and fw % 128 == 0, (fh, fw)
+
+    def kernel(starts, s3_hbm, nx_hbm, outp, outs, scr_p, scr_s, sems):
+        i = pl.program_id(0)
+        dmas = []
+        for k in range(_GK):
+            idx = i * _GK + k
+            pr = pl.multiple_of(starts[0, idx], 8)
+            pc = pl.multiple_of(starts[1, idx], 128)
+            d1 = pltpu.make_async_copy(
+                s3_hbm.at[:, pl.ds(pr, _PW_ROWS), pl.ds(pc, _GW)],
+                scr_p.at[k], sems.at[k],
+            )
+            d1.start()
+            sr = pl.multiple_of(starts[2, idx], 8)
+            sc = pl.multiple_of(starts[3, idx], 128)
+            d2 = pltpu.make_async_copy(
+                nx_hbm.at[pl.ds(sr, _SW_ROWS2), pl.ds(sc, _GW)],
+                scr_s.at[k], sems.at[_GK + k],
+            )
+            d2.start()
+            dmas.append((d1, d2))
+        for k in range(_GK):
+            idx = i * _GK + k
+            d1, d2 = dmas[k]
+            d1.wait()
+            ex = starts[4, idx]
+            for p in range(3):
+                w = pltpu.roll(scr_p[k, p], shift=-ex, axis=1)
+                outp[k, p] = w[:, :128]
+            d2.wait()
+            sw = pltpu.roll(scr_s[k], shift=-starts[5, idx], axis=1)
+            outs[k] = sw[:, :128]
+
+    def gather(starts: jnp.ndarray):
+        np_ = starts.shape[1]
+        assert np_ % _GK == 0, np_
+        grid = (np_ // _GK,)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((_GK, 3, _PW_ROWS, 128),
+                                 lambda i, *_: (i, 0, 0, 0)),
+                    pl.BlockSpec((_GK, _SW_ROWS2, 128),
+                                 lambda i, *_: (i, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((_GK, 3, _PW_ROWS, _GW), jnp.float32),
+                    pltpu.VMEM((_GK, _SW_ROWS2, _GW), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2 * _GK,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((np_, 3, _PW_ROWS, 128), jnp.float32),
+                jax.ShapeDtypeStruct((np_, _SW_ROWS2, 128), jnp.float32),
+            ],
+        )(starts, stack3, next_f)
+
+    return gather

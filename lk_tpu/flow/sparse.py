@@ -275,6 +275,54 @@ _SW_ROWS = 32
 _SW_COLS = 48
 
 
+def _gather_windows_pallas(stack3, next_f, cy, cx, syf, sxf,
+                           win_h, win_w, sw_h, sw_w):
+    """Fetch all per-point windows with one Pallas gather (LKConfig
+    .pallas_windows): prev/ix/iy (win+1)^2 windows at (cy, cx) and
+    (sw_h, sw_w) next superwindows at (syf, sxf) — exact same contents as
+    the vmapped dynamic_slice path, but the DMAs pipeline instead of
+    serializing (measured 8.8 ms -> sub-ms fixed cost at 640 points)."""
+    from lk_tpu.flow.pallas_kernels import make_point_window_gather
+
+    nn = cy.shape[0]
+    fh, fw = next_f.shape
+    fhp = -(-fh // 8) * 8 + 48
+    fwp = -(-fw // 128) * 128 + 256
+    s3p = jnp.pad(stack3, ((0, 0), (0, fhp - fh), (0, fwp - fw)))
+    nxp = jnp.pad(next_f, ((0, fhp - fh), (0, fwp - fw)))
+
+    pr_al = (cy // 8) * 8
+    pc_al = (cx // 128) * 128
+    sr_al = (syf // 8) * 8
+    sc_al = (sxf // 128) * 128
+    nn_pad = -(-nn // 16) * 16
+
+    def p8(a):
+        return jnp.pad(a, (0, nn_pad - nn))
+
+    starts = jnp.stack([
+        p8(pr_al), p8(pc_al), p8(sr_al), p8(sc_al),
+        p8(cx - pc_al), p8(sxf - sc_al),
+    ]).astype(jnp.int32)
+    pw, sww = make_point_window_gather(s3p, nxp)(starts)
+    pw = pw[:nn]
+    sww = sww[:nn]
+    # fold the 0..7 row-alignment remainder back out with 8 masked taps
+    epy = cy - pr_al
+    esy = syf - sr_al
+    raw = sum(
+        (epy == e).astype(jnp.float32)[:, None, None, None]
+        * pw[:, :, e:e + win_h + 1, :win_w + 1]
+        for e in range(8)
+    )
+    sw = sum(
+        (esy == e).astype(jnp.float32)[:, None, None]
+        * sww[:, e:e + sw_h, :sw_w]
+        for e in range(8)
+    )
+    return raw, sw
+
+
 def track_points_batched(
     prev_imgs: jnp.ndarray,
     next_imgs: jnp.ndarray,
@@ -368,11 +416,35 @@ def track_points_batched(
         cx = jnp.clip(ipx.astype(jnp.int32) + pad, 0, fpw - win_w - 1)
         cy = jnp.clip(ipy.astype(jnp.int32) + pad, 0, fph - win_h - 1) + base_y
 
-        raw = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(
-                stack3, (0, y, x), (3, win_h + 1, win_w + 1)
+        # superwindow corner (needed up-front when the Pallas gather fetches
+        # both window kinds in one kernel call; pure function of next_pt)
+        sy = jnp.clip(
+            jnp.floor(next_pt[:, 1] - half_y).astype(jnp.int32) + pad
+            - (sw_h - win_h - 1) // 2,
+            0, fph - sw_h,
+        )
+        sx = jnp.clip(
+            jnp.floor(next_pt[:, 0] - half_x).astype(jnp.int32) + pad
+            - (sw_w - win_w - 1) // 2,
+            0, fpw - sw_w,
+        )
+
+        if cfg.pallas_windows:
+            raw, sw = _gather_windows_pallas(
+                stack3, next_f, cy, cx, sy + base_y, sx,
+                win_h, win_w, sw_h, sw_w,
             )
-        )(cy, cx)
+        else:
+            raw = jax.vmap(
+                lambda y, x: jax.lax.dynamic_slice(
+                    stack3, (0, y, x), (3, win_h + 1, win_w + 1)
+                )
+            )(cy, cx)
+            sw = jax.vmap(
+                lambda y, x: jax.lax.dynamic_slice(
+                    next_f, (y, x), (sw_h, sw_w)
+                )
+            )(sy + base_y, sx)
         w00 = ((1.0 - fx) * (1.0 - fy))[:, None, None]
         w01 = (fx * (1.0 - fy))[:, None, None]
         w10 = ((1.0 - fx) * fy)[:, None, None]
@@ -399,20 +471,7 @@ def track_points_batched(
             status = status & prev_inside & good_g
         do_refine = prev_inside & good_g
 
-        # --- next superwindow around the level's initial estimate ----------
-        sy = jnp.clip(
-            jnp.floor(next_pt[:, 1] - half_y).astype(jnp.int32) + pad
-            - (sw_h - win_h - 1) // 2,
-            0, fph - sw_h,
-        )
-        sx = jnp.clip(
-            jnp.floor(next_pt[:, 0] - half_x).astype(jnp.int32) + pad
-            - (sw_w - win_w - 1) // 2,
-            0, fpw - sw_w,
-        )
-        sw = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(next_f, (y, x), (sw_h, sw_w))
-        )(sy + base_y, sx)
+        # --- next superwindow: fetched above alongside the prev windows ----
         max_dy = sw_h - win_h - 1
         max_dx = sw_w - win_w - 1
 

@@ -185,6 +185,40 @@ class TestPallasLocalWarp:
         err = np.hypot(flow[..., 0] - 3.0, flow[..., 1] + 2.0)
         assert err.mean() < 0.1, err.mean()
 
+    def test_point_window_gather_matches_dynamic_slice(self, rng):
+        """track_points_batched(pallas_windows=True) == the vmapped
+        dynamic_slice path bit-for-bit (same contents, pipelined DMAs)."""
+        from lk_tpu.config import LKConfig
+        from lk_tpu.flow.sparse import track_points_batched
+
+        b, n, h, w = 3, 7, 96, 160
+        import cv2 as cv
+
+        prev = (rng.random((b, h, w)) * 255).astype(np.float32)
+        for i in range(b):
+            prev[i] = cv.GaussianBlur(prev[i], (0, 0), 1.5)
+        m = np.float32([[1, 0, 1.7], [0, 1, -1.2]])
+        nxt = np.stack([
+            cv.warpAffine(prev[i], m, (w, h), flags=cv.INTER_LINEAR,
+                          borderMode=cv.BORDER_REFLECT_101)
+            for i in range(b)
+        ])
+        pts = np.stack([rng.uniform(20, w - 20, (b, n)),
+                        rng.uniform(20, h - 20, (b, n))], -1).astype(
+            np.float32)
+        val = np.ones((b, n), bool)
+        ref = track_points_batched(
+            jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts),
+            jnp.asarray(val), LKConfig())
+        got = track_points_batched(
+            jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts),
+            jnp.asarray(val), LKConfig(pallas_windows=True))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(got[2]),
+                                   atol=1e-5)
+
     def test_residual_clamp_behavior(self, rng):
         """Flow deviating more than `local` from the tile reference clamps."""
         h, w = 16, 384
