@@ -122,7 +122,10 @@ def throughput(dcfg: "DenseLKConfig") -> float:
 
     # Chain CHAIN frames inside one jit so the ~33 ms axon fetch round trip
     # (harness artifact; production runs scan on-device) amortizes away.
-    chain_n = int(os.environ.get("LK_BENCH_CHAIN", "10"))
+    # 30 frames: the tunnel constant drifts a few ms between its measurement
+    # and the reps; at chain=10 that drift alone is ±0.3-0.5 ms/frame
+    # (measured ±10% run-to-run scatter), at 30 it is under ±0.15 ms.
+    chain_n = int(os.environ.get("LK_BENCH_CHAIN", "30"))
 
     @jax.jit
     def chained(a, b):

@@ -95,6 +95,10 @@ class DenseLKConfig:
     # 0.030) and <= 0.03 px worse in the failure-regime strong-zoom scenes
     # where OpenCV itself scores 2-4 px; 4 gives up ~0.08 px there.
     warp_local: int = 5
+    # Single-tile levels (the 270p pyramid top) run the VMEM-resident fused
+    # kernel: gradients/A/flow persist in scratch across iterations and only
+    # the warp window DMA touches HBM per iteration.  0 disables.
+    fused_resident_max_h: int = 272
     # Build the coarse-search pyramid with ops.blur.pyr_down(fast=True):
     # both filter+decimate passes as DEFAULT-precision banded MXU matmuls
     # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees

@@ -100,7 +100,16 @@ def dense_lk_level(
         # (th=64 everywhere: 630 fps; tall bands at the small levels: 595):
         # smallest padding wins — th=64 (1080 -> 1088, not -> 1152).
         h0_ = orig_hw[0]
-        if dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
+        grads_resident = (
+            dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel
+            and -(-h0_ // 8) * 8 <= dense_cfg.fused_resident_max_h
+            and orig_hw[1] <= 512
+        )
+        if grads_resident:
+            # whole level fits one tile: the VMEM-resident kernel keeps
+            # flow/gradients/A in scratch across all iterations
+            th = -(-h0_ // 8) * 8
+        elif dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
             # grads kernel: tall bands win when they add no extra padding
             # vs th=64 (swept: 1080p 0.68 vs 0.76 ms/level, 540p/270p same
             # direction); fall back to 64 where 136 would pad more rows.
@@ -130,16 +139,28 @@ def dense_lk_level(
 
     if dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
         # Self-contained kernel: Scharr + A computed per tile in VMEM, no
-        # XLA prologue beyond padding (see make_fused_lk_level_grads).
-        from lk_tpu.flow.pallas_kernels import make_fused_lk_level_grads
+        # XLA prologue beyond padding (see make_fused_lk_level_grads); when
+        # the whole level fits one tile, the VMEM-resident variant keeps
+        # all level state in scratch across iterations.
+        from lk_tpu.flow.pallas_kernels import (
+            make_fused_lk_level_grads,
+            make_fused_lk_level_grads_resident,
+        )
 
         assert win_w == win_h, "fused grads kernel needs a square window"
-        run = make_fused_lk_level_grads(
-            next_, prev, n_iters=dense_cfg.outer_iters,
-            min_eig_threshold=cfg.min_eig_threshold,
-            max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
-            local=dense_cfg.warp_local,
-        )
+        if grads_resident:
+            run = make_fused_lk_level_grads_resident(
+                next_, prev, n_iters=dense_cfg.outer_iters,
+                min_eig_threshold=cfg.min_eig_threshold,
+                max_disp=r_disp, win_k=win_h, local=dense_cfg.warp_local,
+            )
+        else:
+            run = make_fused_lk_level_grads(
+                next_, prev, n_iters=dense_cfg.outer_iters,
+                min_eig_threshold=cfg.min_eig_threshold,
+                max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
+                local=dense_cfg.warp_local,
+            )
         flow, min_eig, valid = run(flow_init.astype(jnp.float32))
         h0, w0 = orig_hw
         if flow.shape[:2] != (h0, w0):

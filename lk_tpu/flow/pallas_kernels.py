@@ -583,6 +583,226 @@ def _fused_level_grads_kernel(
     dma_o.wait()
 
 
+def _fused_level_grads_resident_kernel(
+    next_hbm, prev_hbm, flow_in_hbm,
+    out_hbm, stats_hbm,
+    win_scratch, prev_scratch, flow_scratch, grad_cache, a_cache, out_tile,
+    sems,
+    *, h, w, pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    area_f, eig_thr, n_iters,
+):
+    """Single-tile level with EVERYTHING resident in VMEM across iterations.
+
+    When one tile covers the whole (padded) level (the 270p top level of
+    the production pyramid), the multi-tile kernel's per-iteration HBM
+    traffic — flow in/out ping-pong, prev window refetch, Scharr + A
+    recompute — is pure waste: grid scratch persists across sequential
+    grid steps, so iteration 0 computes gradients, the structure tensor
+    and the gating once into caches, flow lives in a VMEM scratch the
+    whole time, and per iteration only the flow-dependent warp window DMA
+    touches HBM.  The result writes once, at the last iteration.
+    """
+    k = pl.program_id(0)
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    c0 = 128 - _HALO
+
+    @pl.when(k == 0)
+    def _():
+        dma_p = pltpu.make_async_copy(
+            prev_hbm.at[pl.ds(0, tile_h + 32),
+                        pl.ds(0, prev_scratch.shape[-1])],
+            prev_scratch, sems.at[0],
+        )
+        dma_p.start()
+        d = pltpu.make_async_copy(flow_in_hbm, flow_scratch, sems.at[1])
+        d.start()
+        d.wait()
+        dma_p.wait()
+        p = prev_scratch[:]
+        sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+              + 10.0 * p[8:8 + eth, 119:121 + etw]
+              + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+        ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+        sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+              + 10.0 * p[7:9 + eth, 120:120 + etw]
+              + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+        iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+
+        def fill(a, width):
+            ext = width - a.shape[-1]
+            if ext == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], ext))], axis=-1
+            )
+
+        gw = grad_cache.shape[-1]
+        grad_cache[0] = fill(ix_w, gw)
+        grad_cache[1] = fill(iy_w, gw)
+        grad_cache[2] = fill(p[8:8 + eth, 120:120 + etw], gw)
+        a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
+        a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
+        a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
+        det = a11 * a22 - a12 * a12
+        min_eig = (a11 + a22
+                   - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+            2.0 * area_f
+        )
+        solvable = det > 1e-7
+        validf = jnp.where((min_eig >= eig_thr) & solvable, 1.0, 0.0)
+        aw = a_cache.shape[-1]
+        a_cache[0] = fill(a11, aw)
+        a_cache[1] = fill(a12, aw)
+        a_cache[2] = fill(a22, aw)
+        a_cache[3] = fill(validf / jnp.where(solvable, det, 1.0), aw)
+        out_tile[0] = fill(min_eig, aw)
+        out_tile[1] = fill(validf, aw)
+        ds = pltpu.make_async_copy(out_tile, stats_hbm, sems.at[3])
+        ds.start()
+        ds.wait()   # out_tile reused for the final flow write
+
+    fx_w = flow_scratch[0, :, c0:c0 + etw]
+    fy_w = flow_scratch[1, :, c0:c0 + etw]
+    jw = _warp_core(
+        next_hbm, fx_w, fy_w, -_HALO, -_HALO, win_scratch, sems.at[2],
+        h=h, w=w, pad=pad, max_disp=max_disp, th=eth, tw=etw, local=local,
+        ref_cy=eth // 2, ref_cx=etw // 2,
+    )
+    ix_w = grad_cache[0, :, :etw]
+    iy_w = grad_cache[1, :, :etw]
+    prev_w = grad_cache[2, :, :etw]
+    r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
+    b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
+    b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
+    a11 = a_cache[0, :, :tile_w]
+    a12 = a_cache[1, :, :tile_w]
+    a22 = a_cache[2, :, :tile_w]
+    invd = a_cache[3, :, :tile_w]
+    fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    b1 = b1 + a11 * fx_t + a12 * fy_t
+    b2 = b2 + a12 * fx_t + a22 * fy_t
+    du = (a12 * b2 - a22 * b1) * invd
+    dv = (a12 * b1 - a11 * b2) * invd
+    bound = jnp.float32(bound_f)
+    fx_new = jnp.clip(fx_t + du, -bound, bound)
+    fy_new = jnp.clip(fy_t + dv, -bound, bound)
+    # full-width row store (partial-lane stores are a Mosaic hazard): splice
+    # the updated tile between the untouched left pad and right halo columns
+    fdw = flow_scratch.shape[-1]
+    row0 = flow_scratch[0, _HALO:_HALO + tile_h]
+    row1 = flow_scratch[1, _HALO:_HALO + tile_h]
+    flow_scratch[0, _HALO:_HALO + tile_h] = jnp.concatenate(
+        [row0[:, :128], fx_new, row0[:, 128 + tile_w:fdw]], axis=1
+    )
+    flow_scratch[1, _HALO:_HALO + tile_h] = jnp.concatenate(
+        [row1[:, :128], fy_new, row1[:, 128 + tile_w:fdw]], axis=1
+    )
+
+    @pl.when(k == n_iters - 1)
+    def _():
+        ow = out_tile.shape[-1]
+
+        def fill2(a):
+            ext = ow - a.shape[-1]
+            if ext == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], ext))], axis=-1
+            )
+
+        out_tile[0] = fill2(fx_new)
+        out_tile[1] = fill2(fy_new)
+        d = pltpu.make_async_copy(out_tile, out_hbm, sems.at[3])
+        d.start()
+        d.wait()
+
+
+def make_fused_lk_level_grads_resident(
+    next_img: jnp.ndarray,
+    prev_img: jnp.ndarray,
+    n_iters: int,
+    min_eig_threshold: float,
+    max_disp: int = 32,
+    local: int = LOCAL,
+    win_k: int = 15,
+):
+    """Single-tile build of the grads level: run(flow_init) ->
+    (flow, min_eig, valid) with all level state VMEM-resident across the
+    n_iters iterations (see _fused_level_grads_resident_kernel).  Requires
+    the (padded) level to fit one tile: H <= 272, W <= 512, H % 8 == 0."""
+    h, w = next_img.shape
+    tile_h, tile_w = h, w
+    assert h <= 272 and w <= 512 and h % 8 == 0, (h, w)
+    assert win_k <= 2 * _HALO - 1
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
+    tw_pad = -(-tile_w // 128) * 128
+    sh, sw = _win_shape(eth, etw, local)
+    pad = max_disp + local + 1 + max(sh, sw - etw)
+    next_pad = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
+    prev_ext = jnp.pad(
+        prev_img.astype(jnp.float32),
+        ((16, 16), (128, etw_dma_p - 128 - w)), mode="edge",
+    )
+
+    grid = (n_iters,)
+    kernel = functools.partial(
+        _fused_level_grads_resident_kernel, h=h, w=w, pad=pad,
+        max_disp=max_disp, tile_h=tile_h, tile_w=tile_w, local=local,
+        win_k=win_k, bound_f=float(max_disp), area_f=float(win_k * win_k),
+        eig_thr=float(min_eig_threshold) * 1024.0, n_iters=n_iters,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, tile_h, tw_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, tile_h, tw_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded next
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded prev
+            pl.BlockSpec(memory_space=pltpu.HBM),   # initial flow
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((tile_h + 32, etw_dma_p), jnp.float32),
+            pltpu.VMEM((2, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((3, eth, -(-etw // 128) * 128), jnp.float32),
+            pltpu.VMEM((4, tile_h, tw_pad), jnp.float32),
+            pltpu.VMEM((2, tile_h, tw_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        # ~8.6 MB of persistent scratch + the kernel's own temporaries
+        # exceed the default 16 MB scoped-vmem budget; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024
+        ),
+    )
+
+    def run(flow_init: jnp.ndarray):
+        def pad_flow(x):
+            return jnp.pad(x.astype(jnp.float32),
+                           ((_HALO, _HALO), (128, etw_dma - 128 - w)),
+                           mode="edge")
+
+        buf = jnp.stack([pad_flow(flow_init[..., 0]),
+                         pad_flow(flow_init[..., 1])])
+        out, stats = call(next_pad, prev_ext, buf)
+        flow = jnp.moveaxis(out[:, :, :w], 0, -1)
+        return flow, stats[0, :, :w], stats[1, :, :w] > 0.5
+
+    return run
+
+
 def make_fused_lk_level_grads(
     next_img: jnp.ndarray,
     prev_img: jnp.ndarray,

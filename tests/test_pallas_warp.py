@@ -118,16 +118,18 @@ class TestPallasLocalWarp:
         # the remaining interior difference is the eps-freeze semantics
         assert d[32:-32, 32:-32].max() < 0.1, d[32:-32, 32:-32].max()
 
-    @pytest.mark.parametrize("iters", [1, 2])
-    def test_fused_grads_kernel_matches_xla(self, rng, iters):
+    @pytest.mark.parametrize("iters,w", [(1, 384), (2, 384), (1, 640)])
+    def test_fused_grads_kernel_matches_xla(self, rng, iters, w):
         """The self-contained kernel (Scharr + A in-kernel) == the XLA path
-        in the interior, including the min_eig/valid stats outputs."""
+        in the interior, including the min_eig/valid stats outputs.
+        w=384 exercises the VMEM-resident single-tile variant, w=640 the
+        multi-tile ping-pong variant."""
         import cv2 as cv
 
         from lk_tpu.config import DenseLKConfig, LKConfig
         from lk_tpu.flow.dense import dense_lk_level
 
-        h, w = 128, 384
+        h = 128
         img = (rng.random((h, w)) * 255).astype(np.float32)
         img = cv.GaussianBlur(img, (0, 0), 2.0)
         m = np.float32([[1, 0, 2.0], [0, 1, 1.5]])
