@@ -994,39 +994,42 @@ def make_fused_lk_level(
 # ---------------------------------------------------------------------------
 
 _GK = 16         # points per grid step (all 2*_GK DMAs in flight)
-_PW_ROWS = 32    # aligned prev-window rows ((win+1)<=25 + 7 align slack)
+_PW_ROWS = 40    # prev rows: 8..15 row offset + (win+1)<=25 + scharr +-1
 _SW_ROWS2 = 40   # aligned superwindow rows (32 + 8 align slack)
 _GW = 256        # DMA width: 128-aligned cols + <=175 used
 
 
 def make_point_window_gather(
-    stack3: jnp.ndarray,       # (3, FH, FW) prev/ix/iy, folded frames
-    next_f: jnp.ndarray,       # (FH, FW) folded next frames
+    prev_f: jnp.ndarray,       # (FH, FW) folded prev frames (padded)
+    next_f: jnp.ndarray,       # (FH, FW) folded next frames (padded)
 ):
     """Build gather(starts) -> (prev_wins, sw_wins) fetching per-point
-    windows with pipelined Pallas DMAs.
+    windows with pipelined Pallas DMAs, computing Scharr per window.
 
     The XLA path's per-point ``vmap(dynamic_slice)`` lowers to ~2-3.5 us
     serialized fetches — 3,840 of them per 32-stream frame dominated the
     whole tracker (measured 8.8 ms fixed cost, iteration-count independent).
-    Here a grid step fetches windows for 8 points with all 16 DMAs in
+    Here a grid step fetches windows for 16 points with all 32 DMAs in
     flight at once, undoes the 128-lane alignment with a dynamic roll, and
-    lets Mosaic pipeline the output writes across grid steps.
+    computes the Scharr gradients per window in VMEM — so the caller needs
+    neither a full-frame scharr pass nor the (3, FH, FW) stack (those two
+    full-frame passes over 32 folded frames cost ~1 ms/level at B=32).
 
     starts: (6, NP) int32 — [prev_row_al, prev_col_al, sw_row_al,
-    sw_col_al, prev_col_extra, sw_col_extra]; *_al rows 8-aligned, cols
-    128-aligned, in-bounds for a (24/40, 256) slice (caller pads the
-    images); NP % 8 == 0.
+    sw_col_al, prev_roll, sw_roll]; *_al rows 8-aligned / cols 128-aligned
+    and in-bounds for a (40, 256) slice (caller pads the images);
+    prev_roll positions source column (corner-1) at lane 0.  NP % 16 == 0.
 
-    Returns prev_wins (NP, 3, 32, 128) — rows still carry the 0..7 row
-    remainder (caller folds it into its vertical lerp taps), cols start at
-    the exact requested column — and sw_wins (NP, 40, 128) likewise.
+    Returns prev_wins (NP, 3, 40, 128): plane 0 prev intensities, planes
+    1/2 Scharr ix/iy (rows 1..38 valid; row r = aligned row r, col c =
+    requested corner col + c), and sw_wins (NP, 40, 128) likewise
+    (col 0 = requested superwindow corner col).
     """
     fh, fw = next_f.shape
-    assert stack3.shape == (3, fh, fw), (stack3.shape, next_f.shape)
+    assert prev_f.shape == (fh, fw), (prev_f.shape, next_f.shape)
     assert fh % 8 == 0 and fw % 128 == 0, (fh, fw)
 
-    def kernel(starts, s3_hbm, nx_hbm, outp, outs, scr_p, scr_s, sems):
+    def kernel(starts, pv_hbm, nx_hbm, outp, outs, scr_p, scr_s, sems):
         i = pl.program_id(0)
         dmas = []
         for k in range(_GK):
@@ -1034,7 +1037,7 @@ def make_point_window_gather(
             pr = pl.multiple_of(starts[0, idx], 8)
             pc = pl.multiple_of(starts[1, idx], 128)
             d1 = pltpu.make_async_copy(
-                s3_hbm.at[:, pl.ds(pr, _PW_ROWS), pl.ds(pc, _GW)],
+                pv_hbm.at[pl.ds(pr, _PW_ROWS), pl.ds(pc, _GW)],
                 scr_p.at[k], sems.at[k],
             )
             d1.start()
@@ -1046,14 +1049,24 @@ def make_point_window_gather(
             )
             d2.start()
             dmas.append((d1, d2))
+        z1 = jnp.zeros((1, 128), jnp.float32)
         for k in range(_GK):
             idx = i * _GK + k
             d1, d2 = dmas[k]
             d1.wait()
-            ex = starts[4, idx]
-            for p in range(3):
-                w = pltpu.roll(scr_p[k, p], shift=-ex, axis=1)
-                outp[k, p] = w[:, :128]
+            # p col 0 == source (corner col - 1); out col c == corner + c
+            p = pltpu.roll(scr_p[k], shift=-starts[4, idx], axis=1)
+            outp[k, 0] = p[:, 1:129]
+            # Scharr exactly as ops/gradients.py: smooth [3,10,3]/16 along
+            # one axis, diff [-0.5, 0, 0.5] along the other, same tap order
+            sm = (p[:-2] * (3.0 / 16.0) + p[1:-1] * (10.0 / 16.0)
+                  + p[2:] * (3.0 / 16.0))
+            ix = sm[:, :-2] * -0.5 + sm[:, 2:] * 0.5       # (38, 254)
+            smx = (p[:, :-2] * (3.0 / 16.0) + p[:, 1:-1] * (10.0 / 16.0)
+                   + p[:, 2:] * (3.0 / 16.0))
+            iy = smx[:-2] * -0.5 + smx[2:] * 0.5           # (38, 254)
+            outp[k, 1] = jnp.concatenate([z1, ix[:, :128], z1], axis=0)
+            outp[k, 2] = jnp.concatenate([z1, iy[:, :128], z1], axis=0)
             d2.wait()
             sw = pltpu.roll(scr_s[k], shift=-starts[5, idx], axis=1)
             outs[k] = sw[:, :128]
@@ -1078,7 +1091,7 @@ def make_point_window_gather(
                                  lambda i, *_: (i, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((_GK, 3, _PW_ROWS, _GW), jnp.float32),
+                    pltpu.VMEM((_GK, _PW_ROWS, _GW), jnp.float32),
                     pltpu.VMEM((_GK, _SW_ROWS2, _GW), jnp.float32),
                     pltpu.SemaphoreType.DMA((2 * _GK,)),
                 ],
@@ -1087,6 +1100,6 @@ def make_point_window_gather(
                 jax.ShapeDtypeStruct((np_, 3, _PW_ROWS, 128), jnp.float32),
                 jax.ShapeDtypeStruct((np_, _SW_ROWS2, 128), jnp.float32),
             ],
-        )(starts, stack3, next_f)
+        )(starts, prev_f, next_f)
 
     return gather

@@ -275,44 +275,55 @@ _SW_ROWS = 32
 _SW_COLS = 48
 
 
-def _gather_windows_pallas(stack3, next_f, cy, cx, syf, sxf,
+def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
                            win_h, win_w, sw_h, sw_w):
     """Fetch all per-point windows with one Pallas gather (LKConfig
-    .pallas_windows): prev/ix/iy (win+1)^2 windows at (cy, cx) and
-    (sw_h, sw_w) next superwindows at (syf, sxf) — exact same contents as
-    the vmapped dynamic_slice path, but the DMAs pipeline instead of
-    serializing (measured 8.8 ms -> sub-ms fixed cost at 640 points)."""
+    .pallas_windows): prev windows at (cy, cx) with Scharr ix/iy computed
+    in-kernel, and (sw_h, sw_w) next superwindows at (syf, sxf) — same
+    contents as the vmapped dynamic_slice path over a full-frame Scharr
+    stack, but the DMAs pipeline instead of serializing and the two
+    full-frame gradient/stack passes disappear (measured 8.8 ms -> sub-ms
+    fixed cost at 640 points)."""
     from lk_tpu.flow.pallas_kernels import make_point_window_gather
 
     nn = cy.shape[0]
     fh, fw = next_f.shape
+    # layout contract with the kernel: +8 rows on top (so the aligned-down
+    # minus-8 row start stays in bounds), +40 below; +128 cols left (the
+    # Scharr stencil reads corner-1 which may precede a 128 boundary) and
+    # enough right for a 256-wide slice at the last corner.
     fhp = -(-fh // 8) * 8 + 48
-    fwp = -(-fw // 128) * 128 + 256
-    s3p = jnp.pad(stack3, ((0, 0), (0, fhp - fh), (0, fwp - fw)))
-    nxp = jnp.pad(next_f, ((0, fhp - fh), (0, fwp - fw)))
+    fwp = -(-fw // 128) * 128 + 384
+    pvp = jnp.pad(prev_f, ((8, fhp - fh - 8), (128, fwp - fw - 128)))
+    nxp = jnp.pad(next_f, ((8, fhp - fh - 8), (128, fwp - fw - 128)))
 
-    pr_al = (cy // 8) * 8
-    pc_al = (cx // 128) * 128
-    sr_al = (syf // 8) * 8
-    sc_al = (sxf // 128) * 128
+    cy_p = cy + 8
+    cx_p = cx + 128
+    sy_p = syf + 8
+    sx_p = sxf + 128
+    pr_al = (cy_p // 8) * 8 - 8
+    pc_al = ((cx_p - 1) // 128) * 128
+    sr_al = (sy_p // 8) * 8
+    sc_al = (sx_p // 128) * 128
     nn_pad = -(-nn // 16) * 16
 
-    def p8(a):
+    def p16(a):
         return jnp.pad(a, (0, nn_pad - nn))
 
     starts = jnp.stack([
-        p8(pr_al), p8(pc_al), p8(sr_al), p8(sc_al),
-        p8(cx - pc_al), p8(sxf - sc_al),
+        p16(pr_al), p16(pc_al), p16(sr_al), p16(sc_al),
+        p16(cx_p - 1 - pc_al), p16(sx_p - sc_al),
     ]).astype(jnp.int32)
-    pw, sww = make_point_window_gather(s3p, nxp)(starts)
+    pw, sww = make_point_window_gather(pvp, nxp)(starts)
     pw = pw[:nn]
     sww = sww[:nn]
-    # fold the 0..7 row-alignment remainder back out with 8 masked taps
-    epy = cy - pr_al
-    esy = syf - sr_al
+    # fold the row-alignment remainder back out with 8 masked taps
+    # (window top sits at kernel row 8..15; superwindow top at 0..7)
+    epy = cy_p - pr_al
+    esy = sy_p - sr_al
     raw = sum(
-        (epy == e).astype(jnp.float32)[:, None, None, None]
-        * pw[:, :, e:e + win_h + 1, :win_w + 1]
+        (epy == e + 8).astype(jnp.float32)[:, None, None, None]
+        * pw[:, :, e + 8:e + 8 + win_h + 1, :win_w + 1]
         for e in range(8)
     )
     sw = sum(
@@ -386,11 +397,13 @@ def track_points_batched(
     for level in range(cfg.max_level, -1, -1):
         prev_f = fold(prev_lv[level])
         next_f = fold(next_lv[level])
-        # Scharr on the folded-and-padded image, like the single-image path
-        # computes it on the padded level (reflect-pad of the derivative
-        # would flip the sign in the pad region).
-        ix_f, iy_f = scharr_derivatives(prev_f)
-        stack3 = jnp.stack([prev_f, ix_f, iy_f])
+        if not cfg.pallas_windows:
+            # Scharr on the folded-and-padded image, like the single-image
+            # path computes it on the padded level (reflect-pad of the
+            # derivative would flip the sign in the pad region).  The
+            # pallas gather computes it per fetched window instead.
+            ix_f, iy_f = scharr_derivatives(prev_f)
+            stack3 = jnp.stack([prev_f, ix_f, iy_f])
 
         h, w = prev_lv[level].shape[-2:]
         fph = h + 2 * pad
@@ -431,7 +444,7 @@ def track_points_batched(
 
         if cfg.pallas_windows:
             raw, sw = _gather_windows_pallas(
-                stack3, next_f, cy, cx, sy + base_y, sx,
+                prev_f, next_f, cy, cx, sy + base_y, sx,
                 win_h, win_w, sw_h, sw_w,
             )
         else:
