@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--drain-every", type=int, default=16,
+                   help="chunks buffered on device before one host readback")
     p.add_argument("--live-ingest", action="store_true",
                    help="decode per stream on producer threads during the "
                         "timed window (io.prefetch.MultiStreamPrefetcher) "
@@ -69,10 +71,12 @@ def main(argv=None):
 
     server = MultiStreamPipeline(cfg, src_size=(args.width, args.height),
                                  n_streams=args.streams, chunk=args.chunk)
+    server.drain_every = args.drain_every
     # Warm/compile untimed: one full pass through a throwaway server with
     # every chunk shape feed() will see (chunk+1 leading, trailing partial).
     warm = MultiStreamPipeline(cfg, src_size=(args.width, args.height),
                                n_streams=args.streams, chunk=args.chunk)
+    warm.drain_every = args.drain_every
 
     if args.live_ingest:
         # decode + upload + pipeline all overlap; warm with the same path

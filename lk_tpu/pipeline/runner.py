@@ -157,13 +157,19 @@ class VideoPipeline:
         self._pending_resume: Optional[str] = None
         self.last_prefetcher = None  # set by run(prefetch>0)
         self._pending_outs: List[FrameOutputs] = []
-        self.drain_every = 4  # chunks buffered before a host readback
+        # chunks buffered before a host readback: drains synchronize and
+        # stall feeding on bookkeeping, so buffer generously (~5 MB/chunk
+        # of device memory at B=64)
+        self.drain_every = 16
 
     def drain(self) -> None:
         """Flush buffered per-chunk outputs to the host sinks.
 
-        All pending chunks fetch in ONE device_get — each transfer pays the
-        ~33 ms tunnel round trip regardless of size."""
+        All pending chunks fetch in ONE device_get, and infrequently: the
+        fetch synchronizes AND the host bookkeeping that follows stalls
+        feeding, so each drain idles the device (measured: packing the
+        pytree into one array did NOT help — device_get already batches —
+        but drain cadence is worth ~13% of serving wall time)."""
         for outs in jax.device_get(self._pending_outs):
             self._drain(outs)
         self._pending_outs.clear()
@@ -350,7 +356,7 @@ class MultiStreamPipeline:
         )
         self.states = None
         self._pending: List[FrameOutputs] = []
-        self.drain_every = 4
+        self.drain_every = 16
 
     def feed(self, batch: np.ndarray) -> None:
         """batch: (B, T, Hs, Ws, 3) u8 BGR frames, one row per stream."""
@@ -377,7 +383,9 @@ class MultiStreamPipeline:
             self.drain()
 
     def drain(self) -> None:
-        # one device->host fetch for every pending chunk of every stream
+        # one device->host fetch for every pending chunk of every stream;
+        # infrequent by default — each drain synchronizes and then stalls
+        # feeding on host bookkeeping (see VideoPipeline.drain)
         for host in jax.device_get(self._pending):
             for b, p in enumerate(self.pipes):
                 p._drain(jax.tree_util.tree_map(lambda x: x[b], host))
