@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--drain-every", type=int, default=16,
                    help="chunks buffered on device before one host readback")
+    p.add_argument("--async-drains", action="store_true",
+                   help="readback + bookkeeping on a worker thread "
+                        "(measured neutral under the axon tunnel — the "
+                        "device_get sync dominates — but frees the feed "
+                        "thread on hosts where bookkeeping CPU matters)")
     p.add_argument("--live-ingest", action="store_true",
                    help="decode per stream on producer threads during the "
                         "timed window (io.prefetch.MultiStreamPrefetcher) "
@@ -72,6 +77,8 @@ def main(argv=None):
     server = MultiStreamPipeline(cfg, src_size=(args.width, args.height),
                                  n_streams=args.streams, chunk=args.chunk)
     server.drain_every = args.drain_every
+    if args.async_drains:
+        server.start_async_drains()
     # Warm/compile untimed: one full pass through a throwaway server with
     # every chunk shape feed() will see (chunk+1 leading, trailing partial).
     warm = MultiStreamPipeline(cfg, src_size=(args.width, args.height),

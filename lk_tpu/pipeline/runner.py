@@ -357,6 +357,34 @@ class MultiStreamPipeline:
         self.states = None
         self._pending: List[FrameOutputs] = []
         self.drain_every = 16
+        self._drain_worker = None
+        self._drain_q = None
+
+    def start_async_drains(self) -> None:
+        """Move readback + bookkeeping to a worker thread so periodic
+        drains no longer stall feeding (the fetch synchronizes on the
+        device AND the per-stream numpy bookkeeping runs while the next
+        chunks could be dispatching).  Call ``drain()`` at end-of-stream
+        as usual — it flushes the queue and joins in-flight work."""
+        import queue
+        import threading
+
+        if self._drain_worker is not None:
+            return
+        self._drain_q = queue.Queue(maxsize=4)
+
+        def work():
+            while True:
+                item = self._drain_q.get()
+                if item is None:
+                    return
+                self._drain_now(item)
+                self._drain_q.task_done()
+
+        self._drain_worker = threading.Thread(
+            target=work, name="lk-tpu-drain", daemon=True
+        )
+        self._drain_worker.start()
 
     def feed(self, batch: np.ndarray) -> None:
         """batch: (B, T, Hs, Ws, 3) u8 BGR frames, one row per stream."""
@@ -380,16 +408,32 @@ class MultiStreamPipeline:
         # pytree in one device->host transfer, then slices per stream.
         self._pending.append(outs)
         if len(self._pending) >= self.drain_every:
-            self.drain()
+            self._drain_enqueue()
 
     def drain(self) -> None:
         # one device->host fetch for every pending chunk of every stream;
         # infrequent by default — each drain synchronizes and then stalls
-        # feeding on host bookkeeping (see VideoPipeline.drain)
-        for host in jax.device_get(self._pending):
+        # feeding on host bookkeeping (see VideoPipeline.drain).  With
+        # start_async_drains, periodic drains enqueue to the worker and a
+        # final drain() flushes it.
+        pending, self._pending = self._pending, []
+        if self._drain_q is not None:
+            self._drain_q.put(pending)
+            self._drain_q.join()      # final flush: wait for bookkeeping
+            return
+        self._drain_now(pending)
+
+    def _drain_enqueue(self) -> None:
+        pending, self._pending = self._pending, []
+        if self._drain_q is not None:
+            self._drain_q.put(pending)    # worker fetches + bookkeeps
+        else:
+            self._drain_now(pending)
+
+    def _drain_now(self, pending) -> None:
+        for host in jax.device_get(pending):
             for b, p in enumerate(self.pipes):
                 p._drain(jax.tree_util.tree_map(lambda x: x[b], host))
-        self._pending.clear()
 
     @property
     def frames_done(self) -> int:

@@ -78,6 +78,9 @@ def test_multistream_matches_independent_pipelines():
     frames = [np.stack([sc.frame(t) for t in range(f)]) for sc in scenes]
 
     server = MultiStreamPipeline(cfg, src_size=(w, h), n_streams=b, chunk=4)
+    # exercise the serving configuration: worker-thread drains every chunk
+    server.drain_every = 1
+    server.start_async_drains()
     t = 0
     while t < f:
         n = min(4 + (1 if server.states is None else 0), f - t)
