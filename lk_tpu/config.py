@@ -95,6 +95,15 @@ class DenseLKConfig:
     # 0.030) and <= 0.03 px worse in the failure-regime strong-zoom scenes
     # where OpenCV itself scores 2-4 px; 4 gives up ~0.08 px there.
     warp_local: int = 5
+    # Per-level override of warp_local, indexed like iter_schedule (empty =
+    # warp_local everywhere).  Fine levels start from upsampled coarse flow,
+    # so their residual-vs-tile-reference range is small: fewer select taps
+    # AND a tighter regularizing clamp.  Swept on v5e, same process:
+    # (3,4,5) beats (5,5,5) on EVERY scene (gate 0.0069 vs 0.0092 px, rot
+    # 0.035 vs 0.049, strong-zoom 3.81 vs 4.09 in the failure regime) at
+    # +10% 1080p fps; (2,3,5) is 4% faster still but gives back 0.2 px on
+    # strong zoom.
+    warp_local_schedule: Tuple[int, ...] = (3, 4, 5)
     # Single-tile levels (the 270p pyramid top) run the VMEM-resident fused
     # kernel: gradients/A/flow persist in scratch across iterations and only
     # the warp window DMA touches HBM per iteration.  0 disables.
@@ -111,6 +120,10 @@ class DenseLKConfig:
     def level_iters(self, level: int) -> int:
         s = self.iter_schedule
         return s[min(level, len(s) - 1)] if s else self.outer_iters
+
+    def level_local(self, level: int) -> int:
+        s = self.warp_local_schedule
+        return s[min(level, len(s) - 1)] if s else self.warp_local
 
 
 @dataclasses.dataclass(frozen=True)

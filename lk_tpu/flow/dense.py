@@ -346,7 +346,8 @@ def dense_pyramidal_lk(
                  or n_it >= dense_cfg.fused_from_iters)
         )
         level_cfg = dataclasses.replace(
-            dense_cfg, outer_iters=n_it, use_pallas_fused=fuse
+            dense_cfg, outer_iters=n_it, use_pallas_fused=fuse,
+            warp_local=dense_cfg.level_local(level),
         )
         result = dense_lk_level(
             prev_levels[level], next_levels[level], flow, cfg, level_cfg,
