@@ -100,9 +100,11 @@ def dense_lk_level(
         # (th=64 everywhere: 630 fps; tall bands at the small levels: 595):
         # smallest padding wins — th=64 (1080 -> 1088, not -> 1152).
         h0_ = orig_hw[0]
+        # 272/512 are the resident kernel's hard VMEM-layout ceilings;
+        # fused_resident_max_h only tunes the gate downward (0 disables)
         grads_resident = (
             dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel
-            and -(-h0_ // 8) * 8 <= dense_cfg.fused_resident_max_h
+            and -(-h0_ // 8) * 8 <= min(dense_cfg.fused_resident_max_h, 272)
             and orig_hw[1] <= 512
         )
         if grads_resident:

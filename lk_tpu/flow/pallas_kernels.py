@@ -385,21 +385,6 @@ def _fused_level_kernel(
     dma_o.wait()
 
 
-def _boxsum_tile(p, win_k: int, tile_h: int, tile_w: int):
-    """win_k x win_k box sum of the extended-region array ``p`` evaluated at
-    the tile pixels (ext row 8+r == tile row r; offsets 1..win_k stay in
-    bounds for win_k <= 15 given _HALO == 8)."""
-    v = None
-    for d in range(win_k):
-        t = p[1 + d:1 + d + tile_h, :]
-        v = t if v is None else v + t
-    out = None
-    for d in range(win_k):
-        t = v[:, 1 + d:1 + d + tile_w]
-        out = t if out is None else out + t
-    return out
-
-
 def _boxsum_tile_mxu(p, win_k: int, tile_h: int, tile_w: int):
     """win_k x win_k box sum of the extended-region array ``p`` at the tile
     pixels, as two banded matmuls on the MXU: out = R @ (p @ C) with 0/1

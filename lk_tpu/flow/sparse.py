@@ -286,6 +286,11 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     fixed cost at 640 points)."""
     from lk_tpu.flow.pallas_kernels import make_point_window_gather
 
+    # layout ceilings of the gather kernel's (40, 256) windows: the prev
+    # window needs rows 8..15(+win_h+1) and a Scharr row above/below
+    # (win_h <= 23), and win+1 / sw_w columns within the 128 kept lanes
+    assert win_h <= 23 and win_w <= 126, (win_h, win_w)
+    assert sw_w <= 128 and sw_h <= 32, (sw_h, sw_w)
     nn = cy.shape[0]
     fh, fw = next_f.shape
     # layout contract with the kernel: +8 rows on top (so the aligned-down

@@ -25,6 +25,18 @@ import numpy as np
 _SENTINEL = object()
 
 
+def _queue_put(q, stop, item, force: bool = False):
+    """Bounded put that gives up when ``stop`` is set (unless forced, so
+    the terminating sentinel always lands)."""
+    while True:
+        try:
+            q.put(item, timeout=0.1)
+            return
+        except queue.Full:
+            if stop.is_set() and not force:
+                return
+
+
 class ChunkPrefetcher:
     """Iterate ``transform(chunk)`` over fixed-size frame chunks, decoded
     and transformed ``depth`` chunks ahead on a producer thread.
@@ -96,13 +108,7 @@ class ChunkPrefetcher:
         self._thread.start()
 
     def _put(self, item, force: bool = False):
-        while True:
-            try:
-                self._q.put(item, timeout=0.1)
-                return
-            except queue.Full:
-                if self._stop.is_set() and not force:
-                    return
+        _queue_put(self._q, self._stop, item, force)
 
     def __iter__(self) -> Iterator[Any]:
         while True:
@@ -190,13 +196,7 @@ class MultiStreamPrefetcher:
         return sum(p.producer_busy_s for p in self._pfs)
 
     def _put(self, item, force: bool = False):
-        while True:
-            try:
-                self._q.put(item, timeout=0.1)
-                return
-            except queue.Full:
-                if self._stop.is_set() and not force:
-                    return
+        _queue_put(self._q, self._stop, item, force)
 
     def __iter__(self) -> Iterator[Any]:
         while True:

@@ -372,14 +372,19 @@ class MultiStreamPipeline:
         if self._drain_worker is not None:
             return
         self._drain_q = queue.Queue(maxsize=4)
+        self._drain_err = None
 
         def work():
             while True:
                 item = self._drain_q.get()
-                if item is None:
-                    return
-                self._drain_now(item)
-                self._drain_q.task_done()
+                try:
+                    if item is None:
+                        return
+                    self._drain_now(item)
+                except BaseException as e:  # surfaced at the next drain()
+                    self._drain_err = e
+                finally:
+                    self._drain_q.task_done()
 
         self._drain_worker = threading.Thread(
             target=work, name="lk-tpu-drain", daemon=True
@@ -420,12 +425,19 @@ class MultiStreamPipeline:
         if self._drain_q is not None:
             self._drain_q.put(pending)
             self._drain_q.join()      # final flush: wait for bookkeeping
+            self._raise_drain_err()
             return
         self._drain_now(pending)
+
+    def _raise_drain_err(self) -> None:
+        if getattr(self, "_drain_err", None) is not None:
+            err, self._drain_err = self._drain_err, None
+            raise err
 
     def _drain_enqueue(self) -> None:
         pending, self._pending = self._pending, []
         if self._drain_q is not None:
+            self._raise_drain_err()       # fail fast, don't fill the queue
             self._drain_q.put(pending)    # worker fetches + bookkeeps
         else:
             self._drain_now(pending)

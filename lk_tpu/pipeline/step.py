@@ -104,6 +104,9 @@ def make_step(
 
     _sub_np = _np.asarray(sub_masks) > 0
     _ys, _xs = _np.where(_sub_np.any(0))
+    if _ys.size == 0:       # degenerate ROI: keep the full-frame behavior
+        _ys = _np.array([0, height - 1])
+        _xs = _np.array([0, width - 1])
     _halo = fcfg.block_size // 2 + 2
     _y0 = (max(int(_ys.min()) - _halo, 0) // 8) * 8
     _x0 = (max(int(_xs.min()) - _halo, 0) // 128) * 128
