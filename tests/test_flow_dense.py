@@ -92,3 +92,18 @@ class TestDenseLK:
         assert flows.shape == (3, 96, 128, 2)
         err = np.abs(flows[:, 20:-20, 20:-20] - np.array([1.5, -1.0])).mean()
         assert err < 0.1, err
+
+
+class TestDenseConfigSchedules:
+    def test_level_schedules(self):
+        from lk_tpu.config import DenseLKConfig
+
+        d = DenseLKConfig(iter_schedule=(1, 2, 6), warp_local_schedule=(3, 4, 5),
+                          outer_iters=9, warp_local=7, max_disp=32)
+        assert [d.level_iters(lv) for lv in (0, 1, 2, 3)] == [1, 2, 6, 6]
+        assert [d.level_local(lv) for lv in (0, 1, 2, 3)] == [3, 4, 5, 5]
+        # empty schedules fall back to the scalar knobs
+        d2 = DenseLKConfig(iter_schedule=(), warp_local_schedule=(),
+                           outer_iters=9, warp_local=7)
+        assert d2.level_iters(2) == 9 and d2.level_local(2) == 7
+        assert [d.level_disp(lv) for lv in (0, 1, 2, 4)] == [32, 16, 8, 4]
