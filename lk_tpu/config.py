@@ -108,6 +108,13 @@ class DenseLKConfig:
     # kernel: gradients/A/flow persist in scratch across iterations and only
     # the warp window DMA touches HBM per iteration.  0 disables.
     fused_resident_max_h: int = 272
+    # Tile-geometry override for the grads-in-kernel fused level (0 = auto:
+    # <=136-row bands + pick_tile_w).  Each grid step carries a fixed
+    # ~16 us cost dominated by DMA issue/wait overhead (measured round 2),
+    # so bigger tiles cut step count — at the price of residual-clamp
+    # margin (within-tile flow variation vs warp_local) and VMEM.
+    fused_tile_h: int = 0
+    fused_tile_w: int = 0
     # Build the coarse-search pyramid with ops.blur.pyr_down(fast=True):
     # both filter+decimate passes as DEFAULT-precision banded MXU matmuls
     # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees

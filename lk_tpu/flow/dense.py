@@ -112,18 +112,41 @@ def dense_lk_level(
             # flow/gradients/A in scratch across all iterations
             th = -(-h0_ // 8) * 8
         elif dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
-            # grads kernel: tall bands win when they add no extra padding
-            # vs th=64 (swept: 1080p 0.68 vs 0.76 ms/level, 540p/270p same
-            # direction); fall back to 64 where 136 would pad more rows.
-            th = min(-(-h0_ // 8) * 8, 136)
-            if -(-h0_ // th) * th > -(-h0_ // 64) * 64:
-                th = 64
+            if dense_cfg.fused_tile_h:
+                th = min(dense_cfg.fused_tile_h, -(-h0_ // 8) * 8)
+            else:
+                # grads kernel: each grid step carries a fixed ~16 us cost
+                # (DMA issue/wait dominated), so among equal-padding
+                # choices the TALLEST band wins (swept round 2 at 1080p:
+                # 272-row bands 942 vs 928 fps at th=136; 544 regresses —
+                # VMEM pressure).  Pick the tallest of (272, 136, 64) that
+                # minimizes padded rows.
+                hc = -(-h0_ // 8) * 8
+                cands = [min(hc, t) for t in (272, 136, 64)]
+                best_pad = min(-(-h0_ // t) * t for t in cands)
+                th = next(t for t in cands if -(-h0_ // t) * t == best_pad)
         elif dense_cfg.use_pallas_fused and h0_ <= 272:
             th = min(-(-h0_ // 8) * 8, 136)  # fused 270p: 2 bands/iter
         else:
             th = 64
         h0, w0 = orig_hw
         tw, wp = pick_tile_w(w0)
+        if (not grads_resident and dense_cfg.use_pallas_fused
+                and dense_cfg.fused_grads_in_kernel):
+            if dense_cfg.fused_tile_w:
+                tw = min(dense_cfg.fused_tile_w, -(-w0 // 128) * 128)
+                wp = -(-w0 // tw) * tw
+            elif w0 > 512:
+                # fixed step cost again: allow up to 128 extra pad columns
+                # to take a wider tile (swept round 2 at 1920 wide:
+                # tw=512/pad 2048 beats tw=384/pad 1920, 971 vs 942 fps)
+                for cand in (512, 384, 256):
+                    if cand <= tw:
+                        break
+                    wp_c = -(-w0 // cand) * cand
+                    if wp_c - w0 <= (wp - w0) + 128:
+                        tw, wp = cand, wp_c
+                        break
         hp = -(-h0 // th) * th
         if (hp, wp) != (h0, w0):
             pad_cfg = ((0, hp - h0), (0, wp - w0))

@@ -87,33 +87,67 @@ def _win_shape(th: int, tw: int, local: int) -> tuple[int, int]:
     return sh, sw
 
 
-def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
-               *, h, w, pad, max_disp, th, tw, local, ref_cy, ref_cx):
-    """Warp a (th, tw) region whose top-left is global (y0, x0).
+def _asym_pads(tile_h: int, tile_w: int, sh: int, sw: int,
+               max_disp: int, local: int) -> tuple[int, int, int, int]:
+    """(top, bottom, left, right) frame paddings for the fused kernels.
 
-    next_hbm: (h + 2*pad, w + 2*pad) edge-padded image in HBM.  fx/fy: flow
-    on the region.  Reference displacement read at (ref_cy, ref_cx).  Returns
-    the warped (th, tw) block; residual displacement beyond ±local of the
-    reference clamps.
+    The warp-window slice must stay in-bounds for every reference
+    displacement in ±max_disp with the extended region's top-left ranging
+    down to (-_HALO, -_HALO).  Only the RIGHT side pays for the
+    power-of-two window width (sw >> etw); the other sides stay
+    ~max_disp-sized — a symmetric pad materializes tens of MB of
+    edge-replication per 1080p level call for no reason (measured).
     """
-    sh, sw = _win_shape(th, tw, local)
-    bound = jnp.float32(max_disp)
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    pad_t = max_disp + local + _HALO + 8
+    pad_b = max_disp + local + (sh - eth) + _HALO + 16
+    pad_l = max_disp + local + _HALO + 8
+    pad_r = max_disp + local + (sw - etw) + _HALO + 16
+    # static in-bounds proof for the worst-case slices
+    assert pad_t - _HALO - max_disp - local >= 0
+    assert pad_l - _HALO - max_disp - local >= 0
+    assert max_disp - local + sh - tile_h - _HALO <= pad_b
+    assert max_disp - local + sw - tile_w - _HALO <= pad_r
+    return pad_t, pad_b, pad_l, pad_r
 
+
+def _warp_start(next_hbm, fx, fy, y0, x0, scratch, sem,
+                *, pad_y, pad_x, max_disp, local, ref_cy, ref_cx):
+    """Issue the warp-window DMA for a (th, tw) region at global (y0, x0).
+
+    Needs only the tile-center flow value, so callers can start the DMA as
+    soon as the flow window lands and overlap it with unrelated compute
+    (Scharr/structure-tensor work) before calling ``_warp_finish``.
+
+    pad_y/pad_x: the TOP/LEFT padding of next_hbm (padding may be
+    asymmetric: the power-of-two window width forces a large right pad,
+    which the other three sides need not pay).
+    """
+    bound = jnp.float32(max_disp)
     dy0 = jnp.round(jnp.clip(fy[ref_cy, ref_cx], -bound, bound)).astype(jnp.int32)
     dx0 = jnp.round(jnp.clip(fx[ref_cy, ref_cx], -bound, bound)).astype(jnp.int32)
-    src_y_raw = y0 + pad + dy0 - local
-    src_x_raw = x0 + pad + dx0 - local
+    src_y_raw = y0 + pad_y + dy0 - local
+    src_x_raw = x0 + pad_x + dx0 - local
     # multiple_of: Mosaic must *prove* tile-aligned DMA offsets; without the
     # hint it miscompiles (wrong windows) or rejects the slice.
     src_y = pl.multiple_of((src_y_raw // 8) * 8, 8)
     src_x = pl.multiple_of((src_x_raw // 128) * 128, 128)
-    extra_y = src_y_raw - src_y        # 0..7, folded into rel_y
-    extra_x = src_x_raw - src_x        # 0..127, undone by the roll below
-
+    sh, sw = scratch.shape
     dma = pltpu.make_async_copy(
         next_hbm.at[pl.ds(src_y, sh), pl.ds(src_x, sw)], scratch, sem
     )
     dma.start()
+    return dma, src_y_raw, src_x_raw, src_y, src_x
+
+
+def _warp_finish(state, fx, fy, y0, x0, scratch,
+                 *, h, w, pad_y, pad_x, max_disp, th, tw, local):
+    """Select/lerp phase of the warp; waits the DMA issued by _warp_start."""
+    dma, src_y_raw, src_x_raw, src_y, src_x = state
+    bound = jnp.float32(max_disp)
+    extra_y = src_y_raw - src_y        # 0..7, folded into rel_y
+    extra_x = src_x_raw - src_x        # 0..127, undone by the roll below
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -121,10 +155,10 @@ def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
     gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
     gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
     rel_y = jnp.clip(
-        gy + pad - src_y_raw.astype(jnp.float32) - rows, 0.0, 2.0 * local
+        gy + pad_y - src_y_raw.astype(jnp.float32) - rows, 0.0, 2.0 * local
     ) + extra_y.astype(jnp.float32)
     rel_x = jnp.clip(
-        gx + pad - src_x_raw.astype(jnp.float32) - cols, 0.0, 2.0 * local
+        gx + pad_x - src_x_raw.astype(jnp.float32) - cols, 0.0, 2.0 * local
     )
     dyi = jnp.floor(rel_y)
     dxi = jnp.floor(rel_x)
@@ -175,13 +209,36 @@ def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
     return out
 
 
+def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
+               *, h, w, pad_y, pad_x, max_disp, th, tw, local,
+               ref_cy, ref_cx):
+    """Warp a (th, tw) region whose top-left is global (y0, x0).
+
+    next_hbm: edge-padded image in HBM with pad_y rows above / pad_x cols
+    left of frame (0, 0).  fx/fy: flow on the region.  Reference
+    displacement read at (ref_cy, ref_cx).  Returns the warped (th, tw)
+    block; residual displacement beyond ±local of the reference clamps.
+    """
+    state = _warp_start(
+        next_hbm, fx, fy, y0, x0, scratch, sem,
+        pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
+        ref_cy=ref_cy, ref_cx=ref_cx,
+    )
+    return _warp_finish(
+        state, fx, fy, y0, x0, scratch,
+        h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+        th=th, tw=tw, local=local,
+    )
+
+
 def _warp_kernel(next_hbm, fx_ref, fy_ref, out_ref, scratch, sem,
                  *, h, w, pad, max_disp, tile_h, tile_w, local):
     y0 = pl.program_id(0) * tile_h
     x0 = pl.program_id(1) * tile_w
     out_ref[:] = _warp_core(
         next_hbm, fx_ref[:], fy_ref[:], y0, x0, scratch, sem,
-        h=h, w=w, pad=pad, max_disp=max_disp, th=tile_h, tw=tile_w,
+        h=h, w=w, pad_y=pad, pad_x=pad, max_disp=max_disp, th=tile_h,
+        tw=tile_w,
         local=local, ref_cy=tile_h // 2, ref_cx=tile_w // 2,
     )
 
@@ -310,8 +367,8 @@ def _fused_level_kernel(
     # --- warp the extended region (its DMA overlaps the static wait) -------
     jw = _warp_core(
         next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[2],
-        h=h, w=w, pad=pad, max_disp=max_disp, th=eth, tw=etw, local=local,
-        ref_cy=eth // 2, ref_cx=etw // 2,
+        h=h, w=w, pad_y=pad, pad_x=pad, max_disp=max_disp, th=eth, tw=etw,
+        local=local, ref_cy=eth // 2, ref_cx=etw // 2,
     )
     dma_s.wait()
     prev_w = ext_scratch[0, :, c0:c0 + etw]
@@ -417,9 +474,9 @@ def _boxsum_tile_mxu(p, win_k: int, tile_h: int, tile_w: int):
 def _fused_level_grads_kernel(
     next_hbm, prev_hbm, flowbuf_hbm,
     out_hbm, stats_hbm,
-    win_scratch, prev_scratch, flow_scratch, out_tile, sems,
-    *, h, w, pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
-    area_f, eig_thr,
+    win_scratch, prev_scratch, flow_scratch, out_tile, stats_tile, sems,
+    *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats,
 ):
     """Self-contained fused IC iteration: Scharr gradients and the structure
     tensor are computed in-kernel from a single prev window, so a level call
@@ -427,70 +484,153 @@ def _fused_level_grads_kernel(
     no (3, H, W) static stack.  Grid/ping-pong semantics identical to
     ``_fused_level_kernel``; additionally writes (min_eig, valid) tiles to
     ``stats_hbm`` at iteration 0 so DenseFlowResult stays complete.
+
+    merge_stats (static, n_iters == 1 only): no ping-pong is needed for a
+    single iteration, so flow reads come from the (un-aliased) input ref and
+    one 4-plane DMA per step writes (fx, fy, min_eig, valid) to out_hbm —
+    one fewer DMA issue/wait per step, and ``stats_hbm``/``stats_tile``
+    become unused dummies.
+
+    DMA schedule: the step cost at production tiles is dominated by
+    serialized DMA *latencies* (~6 us each, measured), not bandwidth, so
+    every transfer is double-buffered by linear-step parity:
+    * each step prefetches the NEXT tile's prev+flow windows during its own
+      compute (grid scratch persists across TPU grid steps);
+    * the warp-window DMA is issued as soon as the flow window lands
+      (_warp_start needs only the tile-center value) and overlaps the
+      Scharr + structure-tensor MXU work;
+    * output/stats writes are waited two steps later (reconstructed
+      descriptors: the wait consumes the semaphore by copy *size*, which is
+      identical every step), with a final-step drain.
+    Flow windows are NOT prefetched across an iteration boundary — in small
+    grids the boundary tile's own output write overlaps the next iteration's
+    first window — so each iteration's first tile fetches flow
+    synchronously; prev is read-only and prefetches across the boundary.
     """
     k = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    y0 = ti * tile_h
-    x0 = tj * tile_w
     eth = tile_h + 2 * _HALO
     etw = tile_w + 2 * _HALO
     etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
-    src = (k % 2) * 2
-    dst = 2 - src
+    etw_dma_p = prev_scratch.shape[-1]
+    tw_dma_out = out_tile.shape[-1]
+    tiles = n_ty * n_tx
+    s = (k * n_ty + ti) * n_tx + tj       # linear step index
+    slot = jax.lax.rem(s, 2)
+    oslot = 1 - slot
 
-    row0 = pl.multiple_of(y0, 8)
-    col0 = pl.multiple_of(x0, 128)
-    # prev window: rows padded 16/16 in HBM (buffer row y0 == frame row
-    # y0-16); +-9 of the ext region for the Scharr stencil lands inside
-    # the (tile_h + 32, etw_dma_p) slice.
-    dma_p = pltpu.make_async_copy(
-        prev_hbm.at[pl.ds(row0, tile_h + 32),
-                    pl.ds(col0, prev_scratch.shape[-1])],
-        prev_scratch, sems.at[0],
-    )
-    dma_p.start()
-
-    @pl.when(k == 0)
-    def _():
-        d = pltpu.make_async_copy(
-            flowbuf_hbm.at[
-                pl.ds(src, 2), pl.ds(row0, eth), pl.ds(col0, etw_dma)
+    # --- descriptor builders (sems: 0-1 prev, 2-3 flow, 4 warp, 5-6 out,
+    # 7-8 stats; slot-indexed pairs for the double-buffered transfers) ------
+    def prev_copy(ti_, tj_, sl):
+        return pltpu.make_async_copy(
+            prev_hbm.at[
+                pl.ds(pl.multiple_of(ti_ * tile_h, 8), tile_h + 32),
+                pl.ds(pl.multiple_of(tj_ * tile_w, 128), etw_dma_p),
             ],
-            flow_scratch, sems.at[1],
+            prev_scratch.at[sl], sems.at[sl],
         )
-        d.start()
-        d.wait()
 
-    @pl.when(k > 0)
-    def _():
-        d = pltpu.make_async_copy(
+    def flow_copy(buf, kk, ti_, tj_, sl):
+        src = jax.lax.rem(kk, 2) * 2
+        return pltpu.make_async_copy(
+            buf.at[
+                pl.ds(src, 2),
+                pl.ds(pl.multiple_of(ti_ * tile_h, 8), eth),
+                pl.ds(pl.multiple_of(tj_ * tile_w, 128), etw_dma),
+            ],
+            flow_scratch.at[sl], sems.at[2 + sl],
+        )
+
+    def start_flow(kk, ti_, tj_, sl):
+        # iteration 0 reads the (donated) input ref, later iterations the
+        # output ref — same memory on hardware (input_output_aliases); in
+        # interpret mode, which copies instead of aliasing, this makes the
+        # ping-pong read the actually-written slots.
+        @pl.when(kk == 0)
+        def _():
+            flow_copy(flowbuf_hbm, kk, ti_, tj_, sl).start()
+
+        @pl.when(kk > 0)
+        def _():
+            flow_copy(out_hbm, kk, ti_, tj_, sl).start()
+
+    def out_copy(kk, ti_, tj_, sl):
+        if merge_stats:
+            dst, n_pl = 0, 4
+        else:
+            dst, n_pl = 2 - jax.lax.rem(kk, 2) * 2, 2
+        return pltpu.make_async_copy(
+            out_tile.at[sl],
             out_hbm.at[
-                pl.ds(src, 2), pl.ds(row0, eth), pl.ds(col0, etw_dma)
+                pl.ds(dst, n_pl),
+                pl.ds(pl.multiple_of(ti_ * tile_h + _HALO, 8), tile_h),
+                pl.ds(pl.multiple_of(tj_ * tile_w + 128, 128), tw_dma_out),
             ],
-            flow_scratch, sems.at[1],
+            sems.at[5 + sl],
         )
-        d.start()
-        d.wait()
+
+    def stats_copy(ti_, tj_, sl):
+        return pltpu.make_async_copy(
+            stats_tile.at[sl],
+            stats_hbm.at[
+                pl.ds(0, 2),
+                pl.ds(pl.multiple_of(ti_ * tile_h, 8), tile_h),
+                pl.ds(pl.multiple_of(tj_ * tile_w + 128, 128), tw_dma_out),
+            ],
+            sems.at[7 + sl],
+        )
+
+    # --- fetch this step's windows (usually already in flight) --------------
+    @pl.when(s == 0)
+    def _():
+        prev_copy(ti, tj, slot).start()
+
+    first_tile = (ti == 0) & (tj == 0)
+
+    @pl.when(first_tile)
+    def _():
+        start_flow(k, ti, tj, slot)
+
+    # wait is by semaphore+size, so the src buffer choice is irrelevant here
+    flow_copy(flowbuf_hbm, k, ti, tj, slot).wait()
 
     c0 = 128 - _HALO
-    fx_w = flow_scratch[0, :, c0:c0 + etw]
-    fy_w = flow_scratch[1, :, c0:c0 + etw]
+    fx_w = flow_scratch[slot, 0, :, c0:c0 + etw]
+    fy_w = flow_scratch[slot, 1, :, c0:c0 + etw]
 
-    # warp first: its window DMA overlaps the prev-window wait
-    jw = _warp_core(
-        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[2],
-        h=h, w=w, pad=pad, max_disp=max_disp, th=eth, tw=etw, local=local,
+    # issue the warp-window DMA immediately: it only needs the center flow
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    wstate = _warp_start(
+        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+        pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
         ref_cy=eth // 2, ref_cx=etw // 2,
     )
-    dma_p.wait()
+
+    # --- prefetch the next step's windows while this one computes -----------
+    at_row_end = tj == n_tx - 1
+    nti = jnp.where(at_row_end, ti + 1, ti)
+    ntj = jnp.where(at_row_end, 0, tj + 1)
+    last_tile = (ti == n_ty - 1) & (tj == n_tx - 1)
+
+    @pl.when(jnp.logical_not(last_tile))
+    def _():
+        prev_copy(nti, ntj, oslot).start()
+        start_flow(k, nti, ntj, oslot)
+
+    @pl.when(last_tile & (k < n_iters - 1))
+    def _():
+        prev_copy(0, 0, oslot).start()   # read-only: safe across the boundary
+
+    prev_copy(ti, tj, slot).wait()
 
     # --- Scharr on the extended region, in VMEM ------------------------------
     # ext row e == scratch row e+8; ext col j == scratch col j+120.
     # smooth [3,10,3]/16 cross diff [-1,0,1]/2 (ops/gradients.py); frame-border
     # halos carry edge replication (pad_ext) instead of REFLECT_101 — a
     # border-radius-only deviation, same class as the fused b-sum halos.
-    p = prev_scratch[:]
+    p = prev_scratch[slot]
     sy = (3.0 * p[7:7 + eth, 119:121 + etw]
           + 10.0 * p[8:8 + eth, 119:121 + etw]
           + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
@@ -513,8 +653,6 @@ def _fused_level_grads_kernel(
     validf = jnp.where((min_eig >= eig_thr) & solvable, 1.0, 0.0)
     invd = validf / jnp.where(solvable, det, 1.0)
 
-    tw_dma_out = out_tile.shape[-1]
-
     def extend_cols(a):
         if tw_dma_out == tile_w:
             return a
@@ -523,21 +661,23 @@ def _fused_level_grads_kernel(
             [a, jnp.broadcast_to(a[:, -1:], (tile_h, ext))], axis=1
         )
 
-    @pl.when(k == 0)
-    def _():
-        out_tile[0] = extend_cols(min_eig)
-        out_tile[1] = extend_cols(validf)
-        d = pltpu.make_async_copy(
-            out_tile,
-            stats_hbm.at[
-                pl.ds(0, 2),
-                pl.ds(row0, tile_h),
-                pl.ds(pl.multiple_of(x0 + 128, 128), tw_dma_out),
-            ],
-            sems.at[3],
-        )
-        d.start()
-        d.wait()   # out_tile is reused for the flow write below
+    if not merge_stats:
+        @pl.when(k == 0)
+        def _():
+            @pl.when(s >= 2)
+            def _():
+                stats_copy(ti, tj, slot).wait()    # started two steps ago
+
+            stats_tile[slot, 0] = extend_cols(min_eig)
+            stats_tile[slot, 1] = extend_cols(validf)
+            stats_copy(ti, tj, slot).start()
+
+    # --- warp selects (the window DMA has had the MXU work to land) ----------
+    jw = _warp_finish(
+        wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
+        h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+        th=eth, tw=etw, local=local,
+    )
 
     # --- IC residual, b sums, solve ------------------------------------------
     r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
@@ -552,20 +692,32 @@ def _fused_level_grads_kernel(
     bound = jnp.float32(bound_f)
     fx_new = extend_cols(jnp.clip(fx_t + du, -bound, bound))
     fy_new = extend_cols(jnp.clip(fy_t + dv, -bound, bound))
-    out_tile[0] = fx_new
-    out_tile[1] = fy_new
 
-    dma_o = pltpu.make_async_copy(
-        out_tile,
-        out_hbm.at[
-            pl.ds(dst, 2),
-            pl.ds(pl.multiple_of(y0 + _HALO, 8), tile_h),
-            pl.ds(pl.multiple_of(x0 + 128, 128), tw_dma_out),
-        ],
-        sems.at[3],
-    )
-    dma_o.start()
-    dma_o.wait()
+    @pl.when(s >= 2)
+    def _():
+        out_copy(k, ti, tj, slot).wait()       # started two steps ago
+
+    out_tile[slot, 0] = fx_new
+    out_tile[slot, 1] = fy_new
+    if merge_stats:
+        out_tile[slot, 2] = extend_cols(min_eig)
+        out_tile[slot, 3] = extend_cols(validf)
+    out_copy(k, ti, tj, slot).start()
+
+    # --- final-step drain: consume every still-outstanding semaphore --------
+    total = n_iters * tiles
+
+    @pl.when(s == total - 1)
+    def _():
+        out_copy(k, ti, tj, slot).wait()       # this step's own write
+        if total >= 2:
+            out_copy(k, ti, tj, oslot).wait()  # step total-2's write
+        if not merge_stats:
+            # stats: starts happen at the `tiles` k==0 steps; in-loop waits
+            # consumed all but the last min(tiles, 2) of them
+            stats_copy(ti, tj, (tiles - 1) % 2).wait()
+            if tiles >= 2:
+                stats_copy(ti, tj, (tiles - 2) % 2).wait()
 
 
 def _fused_level_grads_resident_kernel(
@@ -573,7 +725,7 @@ def _fused_level_grads_resident_kernel(
     out_hbm, stats_hbm,
     win_scratch, prev_scratch, flow_scratch, grad_cache, a_cache, out_tile,
     sems,
-    *, h, w, pad, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
     area_f, eig_thr, n_iters,
 ):
     """Single-tile level with EVERYTHING resident in VMEM across iterations.
@@ -651,8 +803,8 @@ def _fused_level_grads_resident_kernel(
     fy_w = flow_scratch[1, :, c0:c0 + etw]
     jw = _warp_core(
         next_hbm, fx_w, fy_w, -_HALO, -_HALO, win_scratch, sems.at[2],
-        h=h, w=w, pad=pad, max_disp=max_disp, th=eth, tw=etw, local=local,
-        ref_cy=eth // 2, ref_cx=etw // 2,
+        h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, th=eth,
+        tw=etw, local=local, ref_cy=eth // 2, ref_cx=etw // 2,
     )
     ix_w = grad_cache[0, :, :etw]
     iy_w = grad_cache[1, :, :etw]
@@ -727,8 +879,10 @@ def make_fused_lk_level_grads_resident(
     etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
     tw_pad = -(-tile_w // 128) * 128
     sh, sw = _win_shape(eth, etw, local)
-    pad = max_disp + local + 1 + max(sh, sw - etw)
-    next_pad = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
+    pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
+                                            max_disp, local)
+    next_pad = jnp.pad(next_img.astype(jnp.float32),
+                       ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
     prev_ext = jnp.pad(
         prev_img.astype(jnp.float32),
         ((16, 16), (128, etw_dma_p - 128 - w)), mode="edge",
@@ -736,7 +890,8 @@ def make_fused_lk_level_grads_resident(
 
     grid = (n_iters,)
     kernel = functools.partial(
-        _fused_level_grads_resident_kernel, h=h, w=w, pad=pad,
+        _fused_level_grads_resident_kernel, h=h, w=w, pad_y=pad_t,
+        pad_x=pad_l,
         max_disp=max_disp, tile_h=tile_h, tile_w=tile_w, local=local,
         win_k=win_k, bound_f=float(max_disp), area_f=float(win_k * win_k),
         eig_thr=float(min_eig_threshold) * 1024.0, n_iters=n_iters,
@@ -820,8 +975,10 @@ def make_fused_lk_level_grads(
     # prev DMA width strictly covers scratch col (tile_w + 136)
     etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
     sh, sw = _win_shape(eth, etw, local)
-    pad = max_disp + local + 1 + max(sh, sw - etw)
-    next_pad = jnp.pad(next_img.astype(jnp.float32), pad, mode="edge")
+    pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
+                                            max_disp, local)
+    next_pad = jnp.pad(next_img.astype(jnp.float32),
+                       ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
     prev_ext = jnp.pad(prev_img.astype(jnp.float32), ((16, 16), (128, 256)),
                        mode="edge")
 
@@ -829,24 +986,44 @@ def make_fused_lk_level_grads(
     hext = h + 2 * gy
     wext = w + 128 + 256
 
-    grid = (n_iters, h // tile_h, w // tile_w)
+    n_ty = h // tile_h
+    n_tx = w // tile_w
+    grid = (n_iters, n_ty, n_tx)
+    tw_pad = -(-tile_w // 128) * 128
+    merge_stats = n_iters == 1
     kernel = functools.partial(
-        _fused_level_grads_kernel, h=h, w=w, pad=pad, max_disp=max_disp,
+        _fused_level_grads_kernel, h=h, w=w, pad_y=pad_t, pad_x=pad_l,
+        max_disp=max_disp,
         tile_h=tile_h, tile_w=tile_w, local=local, win_k=win_k,
         bound_f=float(max_disp), area_f=float(win_k * win_k),
         eig_thr=float(min_eig_threshold) * 1024.0,
+        n_iters=n_iters, n_ty=n_ty, n_tx=n_tx, merge_stats=merge_stats,
     )
-    call = pl.pallas_call(
-        kernel,
-        out_shape=(
+    if merge_stats:
+        # single iteration: no ping-pong; planes (fx, fy, min_eig, valid)
+        # leave in ONE DMA per step; stats buffers shrink to dummies
+        out_shapes = (
+            jax.ShapeDtypeStruct((4, hext, wext), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
+        )
+        out_planes, stats_planes = 4, 1
+        io_aliases = {}
+    else:
+        out_shapes = (
             jax.ShapeDtypeStruct((4, hext, wext), jnp.float32),
             jax.ShapeDtypeStruct((2, h, wext), jnp.float32),
-        ),
+        )
+        out_planes, stats_planes = 2, 2
+        io_aliases = {2: 0}
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # padded next
             pl.BlockSpec(memory_space=pltpu.HBM),   # padded prev
-            pl.BlockSpec(memory_space=pltpu.HBM),   # flow ping-pong (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # flow (aliased ping-pong
+                                                    # unless merge_stats)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -854,12 +1031,18 @@ def make_fused_lk_level_grads(
         ),
         scratch_shapes=[
             pltpu.VMEM((sh, sw), jnp.float32),
-            pltpu.VMEM((tile_h + 32, etw_dma_p), jnp.float32),
-            pltpu.VMEM((2, eth, etw_dma), jnp.float32),
-            pltpu.VMEM((2, tile_h, -(-tile_w // 128) * 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, tile_h + 32, etw_dma_p), jnp.float32),
+            pltpu.VMEM((2, 2, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((2, out_planes, tile_h, tw_pad), jnp.float32),
+            pltpu.VMEM((2, stats_planes, tile_h, tw_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
-        input_output_aliases={2: 0},
+        input_output_aliases=io_aliases,
+        # double-buffered persistent scratch exceeds the default 16 MB
+        # scoped-vmem budget at the 136-row production tiles; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )
 
     def pad_flow(x):
@@ -869,6 +1052,12 @@ def make_fused_lk_level_grads(
     def run(flow_init: jnp.ndarray):
         fx = pad_flow(flow_init[..., 0])
         fy = pad_flow(flow_init[..., 1])
+        if merge_stats:
+            out, _ = call(next_pad, prev_ext, jnp.stack([fx, fy]))
+            flow = jnp.moveaxis(out[0:2, gy:gy + h, 128:128 + w], 0, -1)
+            min_eig = out[2, gy:gy + h, 128:128 + w]
+            valid = out[3, gy:gy + h, 128:128 + w] > 0.5
+            return flow, min_eig, valid
         buf = jnp.stack([fx, fy, fx, fy])
         out, stats = call(next_pad, prev_ext, buf)
         s = 2 * (n_iters % 2)

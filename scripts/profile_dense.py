@@ -126,6 +126,30 @@ def main():
                        x, y, g, cfg, d2, max_disp=8).flow),
                p2, n2, f2)
 
+    if sel("grads"):
+        # per-level budget of the PRODUCTION path (grads-in-kernel fused
+        # level at every level; schedule (1,1,6), locals (3,4,5))
+        import dataclasses
+
+        p1, n1 = pyr_down(prev), pyr_down(nxt)
+        p2, n2 = pyr_down(p1), pyr_down(n1)
+        base = DenseLKConfig(use_pallas_fused=True)
+        cases = [
+            ("grads level0 1080p x1 local3", prev, nxt, 1, 32, 3, 272, 30),
+            ("grads level1  540p x1 local4", p1, n1, 1, 16, 4, 272, 50),
+            ("grads level2  270p x6 resident", p2, n2, 6, 8, 5, 272, 50),
+            ("grads level2  270p x6 multi-tile", p2, n2, 6, 8, 5, 0, 50),
+        ]
+        for name, a, b, iters, disp, loc, res_h, ch in cases:
+            d = dataclasses.replace(base, outer_iters=iters, warp_local=loc,
+                                    fused_resident_max_h=res_h)
+            f0 = jnp.zeros((*a.shape, 2), jnp.float32)
+            timeit(name,
+                   lambda x_, y_, g_, d=d, disp=disp, ch=ch: chained(
+                       lambda x, y, g: dense_lk_level(
+                           x, y, g, cfg, d, max_disp=disp).flow, chain=ch),
+                   a, b, f0, chain=ch)
+
     if sel("pyr"):
         timeit("pyr_down 1080p -> 540p",
                lambda a: chained(pyr_down, chain=200), prev, chain=200)

@@ -134,6 +134,26 @@ def main():
     scenes = [("trans", img_t, nxt_t), ("rot", base, rot), ("zoom", base, zm)]
     oracles = {name: cv_oracle(a, b) for name, a, b in scenes}
 
+    if mode == "tiles":
+        # tile geometry of the grads kernel: bigger tiles cut the ~16 us
+        # fixed per-grid-step cost; EPE guards the residual-clamp margin
+        for th, tw in [(0, 0), (136, 512), (272, 384), (272, 512),
+                       (544, 384), (544, 512)]:
+            d = DenseLKConfig(use_pallas_warp=True,
+                              fused_tile_h=th, fused_tile_w=tw)
+            ms = time_fn(
+                lambda a, b, d=d: dense_pyramidal_lk(
+                    a, b, cfg, dense_cfg=d).flow,
+                prev, nxt_r)
+            epes = []
+            for name, a, b in scenes:
+                pts, cvf, st = oracles[name]
+                epes.append(f"{name} {epe_1080(d, a, b, cvf, st, pts):.4f}")
+            print(f"tiles ({th:4d},{tw:4d}): {ms:7.3f} ms "
+                  f"({1000 / ms:6.1f} fps)  EPE px: {'  '.join(epes)}",
+                  flush=True)
+        return
+
     schedules = [(2, 3, 6), (1, 3, 6), (1, 2, 6), (1, 2, 4), (2, 2, 4),
                  (1, 4, 6), (1, 3, 4), (1, 1, 6), (1, 1, 4), (1, 2, 3),
                  (1, 2, 5)]
