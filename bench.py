@@ -120,28 +120,37 @@ def throughput(dcfg: "DenseLKConfig") -> float:
             )
         )
 
-    # Chain CHAIN frames inside one jit so the ~33 ms axon fetch round trip
-    # (harness artifact; production runs scan on-device) amortizes away.
-    # 30 frames: the tunnel constant drifts a few ms between its measurement
-    # and the reps; at chain=10 that drift alone is ±0.3-0.5 ms/frame
-    # (measured ±10% run-to-run scatter), at 30 it is under ±0.15 ms.
-    chain_n = int(os.environ.get("LK_BENCH_CHAIN", "30"))
+    # Differential timing: chain C0 and C1 frames inside one jit each and
+    # take the SLOPE between the two chain lengths.  The ~24-35 ms axon
+    # fetch round trip (harness artifact; production runs scan on-device)
+    # cancels exactly in the subtraction, making the statistic immune to
+    # the RTT drift that skewed fixed-constant subtraction by up to ±10%
+    # (measured round 2: the constant moves several ms within one process).
+    # min-of-reps: RTT noise is one-sided (positive outliers only).
+    c0 = int(os.environ.get("LK_BENCH_CHAIN0", "10"))
+    c1 = int(os.environ.get("LK_BENCH_CHAIN1", "40"))
 
-    @jax.jit
-    def chained(a, b):
-        def body(i, acc):
-            return acc + jnp.sum(fn(a + acc * 1e-12, b))
-        return jax.lax.fori_loop(0, chain_n, body, 0.0)
+    def chained(n):
+        @jax.jit
+        def run(a, b):
+            def body(i, acc):
+                return acc + jnp.sum(fn(a + acc * 1e-12, b))
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return run
 
-    float(chained(prev, nxt))  # compile + warm
-    tunnel = measure_tunnel_s()
-    fps = []
+    run0, run1 = chained(c0), chained(c1)
+    float(run0(prev, nxt))  # compile + warm
+    float(run1(prev, nxt))
+    t0s, t1s = [], []
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(chained(prev, nxt))
-        dt = (time.perf_counter() - t0 - tunnel) / chain_n
-        fps.append(BATCH / max(dt, 1e-9))
-    return sorted(fps)[len(fps) // 2]  # median: defensible vs best-of
+        t = time.perf_counter()
+        float(run0(prev, nxt))
+        t0s.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        float(run1(prev, nxt))
+        t1s.append(time.perf_counter() - t)
+    dt = (min(t1s) - min(t0s)) / (c1 - c0)
+    return BATCH / max(dt, 1e-9)
 
 
 def main():

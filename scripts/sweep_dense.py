@@ -134,11 +134,44 @@ def main():
     scenes = [("trans", img_t, nxt_t), ("rot", base, rot), ("zoom", base, zm)]
     oracles = {name: cv_oracle(a, b) for name, a, b in scenes}
 
+    if mode == "tilesd":
+        # differential timing: per-frame ms = slope between chain lengths
+        # measured in ONE process — the tunnel constant cancels exactly,
+        # so this is immune to RTT drift (which corrupted two sweeps)
+        def time_diff(fn, *args, c0=10, c1=40, reps=7):
+            def chained(n):
+                @jax.jit
+                def run(*a):
+                    def body(i, acc):
+                        return acc + jnp.sum(fn(a[0] + acc * 1e-12, *a[1:]))
+                    return jax.lax.fori_loop(0, n, body, 0.0)
+                return run
+            r0, r1 = chained(c0), chained(c1)
+            float(r0(*args)); float(r1(*args))
+            t0s, t1s = [], []
+            for _ in range(reps):
+                t = time.perf_counter(); float(r0(*args))
+                t0s.append(time.perf_counter() - t)
+                t = time.perf_counter(); float(r1(*args))
+                t1s.append(time.perf_counter() - t)
+            return (min(t1s) - min(t0s)) / (c1 - c0) * 1e3
+
+        for th, tw in [(0, 0), (136, 384), (272, 384), (272, 640)]:
+            d = DenseLKConfig(use_pallas_warp=True,
+                              fused_tile_h=th, fused_tile_w=tw)
+            ms = time_diff(
+                lambda a, b, d=d: dense_pyramidal_lk(
+                    a, b, cfg, dense_cfg=d).flow,
+                prev, nxt_r)
+            print(f"tilesd ({th:4d},{tw:4d}): {ms:7.3f} ms/frame "
+                  f"({1000 / ms:6.1f} fps)", flush=True)
+        return
+
     if mode == "tiles":
         # tile geometry of the grads kernel: bigger tiles cut the ~16 us
         # fixed per-grid-step cost; EPE guards the residual-clamp margin
-        for th, tw in [(0, 0), (136, 512), (272, 384), (272, 512),
-                       (544, 384), (544, 512)]:
+        for th, tw in [(0, 0), (272, 384), (272, 640), (136, 384),
+                       (136, 640)]:
             d = DenseLKConfig(use_pallas_warp=True,
                               fused_tile_h=th, fused_tile_w=tw)
             ms = time_fn(
