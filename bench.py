@@ -154,9 +154,8 @@ def throughput(dcfg: "DenseLKConfig") -> float:
 
 
 def main():
-    dcfg = DenseLKConfig(
-        use_pallas_warp=os.environ.get("LK_BENCH_PALLAS", "1") == "1"
-    )
+    pallas = os.environ.get("LK_BENCH_PALLAS", "1") == "1"
+    dcfg = DenseLKConfig(use_pallas_warp=pallas, pallas_pyramid=pallas)
     epe = epe_check(dcfg)
     fps = throughput(dcfg) if epe < 0.1 else 0.0
     print(json.dumps({

@@ -120,6 +120,15 @@ class DenseLKConfig:
     # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees
     # the exact f32 frames).  The exact path stays for cv.pyrDown parity.
     fast_pyramid: bool = True
+    # Build the pyramid with the dual-plane Pallas kernel (pallas_kernels.
+    # pallas_pyr_down_pair): both frames of a level decimated by ONE kernel
+    # that reads the raw frames as fused row-pair views and does all
+    # REFLECT_101 border handling in-kernel — no XLA pad/reshape prologue.
+    # Measured v5e @1088x1920: 53.7 us/pair vs 66.1 us for fast_pyramid.
+    # Requires TPU (Mosaic) and pads the pyramid base to h % 16 == 0 rows
+    # (edge mode, the same pad the level kernels apply); levels whose
+    # geometry pyr_pair_supported rejects fall back to fast_pyramid.
+    pallas_pyramid: bool = False
 
     def level_disp(self, level: int) -> int:
         return max(4, self.max_disp >> level)

@@ -48,6 +48,7 @@ motion; 300+ frames/s/chip at 1080p on v5e (bench.py).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax
@@ -69,6 +70,73 @@ class DenseFlowResult(NamedTuple):
     flow: jnp.ndarray      # (H, W, 2) float32, (dx, dy)
     min_eig: jnp.ndarray   # (H, W) float32, per-pixel min eigenvalue / area
     valid: jnp.ndarray     # (H, W) bool — structure tensor was solvable
+
+
+def pallas_level_geometry(
+    h0: int, w0: int, dense_cfg: DenseLKConfig
+) -> tuple[bool, int, int, int, int]:
+    """Tile choice + padded frame geometry for the Pallas level kernels:
+    (grads_resident, tile_h, tile_w, padded_h, padded_w).
+
+    Shared between dense_lk_level (which pads its inputs to this geometry)
+    and dense_pyramidal_lk (which, under pallas_pyramid, pre-pads the
+    pyramid base so every level receives its padded geometry directly and
+    the per-level frame/flow pads become no-ops).
+    """
+    from lk_tpu.flow.pallas_kernels import pick_tile_w
+
+    # Swept on v5e at 1080p (th 64/128/136/272 equal within noise; 544
+    # exceeds the 16 MB scoped-VMEM limit) and end-to-end in bench.py
+    # (th=64 everywhere: 630 fps; tall bands at the small levels: 595):
+    # smallest padding wins — th=64 (1080 -> 1088, not -> 1152).
+    # 272/512 are the resident kernel's hard VMEM-layout ceilings;
+    # fused_resident_max_h only tunes the gate downward (0 disables)
+    grads_resident = (
+        dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel
+        and -(-h0 // 8) * 8 <= min(dense_cfg.fused_resident_max_h, 272)
+        and w0 <= 512
+    )
+    if grads_resident:
+        # whole level fits one tile: the VMEM-resident kernel keeps
+        # flow/gradients/A in scratch across all iterations
+        th = -(-h0 // 8) * 8
+    elif dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
+        if dense_cfg.fused_tile_h:
+            th = min(dense_cfg.fused_tile_h, -(-h0 // 8) * 8)
+        else:
+            # grads kernel: each grid step carries a fixed ~16 us cost
+            # (DMA issue/wait dominated), so among equal-padding
+            # choices the TALLEST band wins (swept round 2 at 1080p:
+            # 272-row bands 942 vs 928 fps at th=136; 544 regresses —
+            # VMEM pressure).  Pick the tallest of (272, 136, 64) that
+            # minimizes padded rows.
+            hc = -(-h0 // 8) * 8
+            cands = [min(hc, t) for t in (272, 136, 64)]
+            best_pad = min(-(-h0 // t) * t for t in cands)
+            th = next(t for t in cands if -(-h0 // t) * t == best_pad)
+    elif dense_cfg.use_pallas_fused and h0 <= 272:
+        th = min(-(-h0 // 8) * 8, 136)  # fused 270p: 2 bands/iter
+    else:
+        th = 64
+    tw, wp = pick_tile_w(w0)
+    if (not grads_resident and dense_cfg.use_pallas_fused
+            and dense_cfg.fused_grads_in_kernel):
+        if dense_cfg.fused_tile_w:
+            tw = min(dense_cfg.fused_tile_w, -(-w0 // 128) * 128)
+            wp = -(-w0 // tw) * tw
+        elif w0 > 512:
+            # fixed step cost again: allow up to 128 extra pad columns
+            # to take a wider tile (swept round 2 at 1920 wide:
+            # tw=512/pad 2048 beats tw=384/pad 1920, 971 vs 942 fps)
+            for cand in (512, 384, 256):
+                if cand <= tw:
+                    break
+                wp_c = -(-w0 // cand) * cand
+                if wp_c - w0 <= (wp - w0) + 128:
+                    tw, wp = cand, wp_c
+                    break
+    hp = -(-h0 // th) * th
+    return grads_resident, th, tw, hp, wp
 
 
 def dense_lk_level(
@@ -93,61 +161,9 @@ def dense_lk_level(
     orig_hw = prev.shape[-2:]
     use_pallas = dense_cfg.use_pallas_warp or dense_cfg.use_pallas_fused
     if use_pallas:
-        from lk_tpu.flow.pallas_kernels import pick_tile_w
-
-        # Swept on v5e at 1080p (th 64/128/136/272 equal within noise; 544
-        # exceeds the 16 MB scoped-VMEM limit) and end-to-end in bench.py
-        # (th=64 everywhere: 630 fps; tall bands at the small levels: 595):
-        # smallest padding wins — th=64 (1080 -> 1088, not -> 1152).
-        h0_ = orig_hw[0]
-        # 272/512 are the resident kernel's hard VMEM-layout ceilings;
-        # fused_resident_max_h only tunes the gate downward (0 disables)
-        grads_resident = (
-            dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel
-            and -(-h0_ // 8) * 8 <= min(dense_cfg.fused_resident_max_h, 272)
-            and orig_hw[1] <= 512
-        )
-        if grads_resident:
-            # whole level fits one tile: the VMEM-resident kernel keeps
-            # flow/gradients/A in scratch across all iterations
-            th = -(-h0_ // 8) * 8
-        elif dense_cfg.use_pallas_fused and dense_cfg.fused_grads_in_kernel:
-            if dense_cfg.fused_tile_h:
-                th = min(dense_cfg.fused_tile_h, -(-h0_ // 8) * 8)
-            else:
-                # grads kernel: each grid step carries a fixed ~16 us cost
-                # (DMA issue/wait dominated), so among equal-padding
-                # choices the TALLEST band wins (swept round 2 at 1080p:
-                # 272-row bands 942 vs 928 fps at th=136; 544 regresses —
-                # VMEM pressure).  Pick the tallest of (272, 136, 64) that
-                # minimizes padded rows.
-                hc = -(-h0_ // 8) * 8
-                cands = [min(hc, t) for t in (272, 136, 64)]
-                best_pad = min(-(-h0_ // t) * t for t in cands)
-                th = next(t for t in cands if -(-h0_ // t) * t == best_pad)
-        elif dense_cfg.use_pallas_fused and h0_ <= 272:
-            th = min(-(-h0_ // 8) * 8, 136)  # fused 270p: 2 bands/iter
-        else:
-            th = 64
         h0, w0 = orig_hw
-        tw, wp = pick_tile_w(w0)
-        if (not grads_resident and dense_cfg.use_pallas_fused
-                and dense_cfg.fused_grads_in_kernel):
-            if dense_cfg.fused_tile_w:
-                tw = min(dense_cfg.fused_tile_w, -(-w0 // 128) * 128)
-                wp = -(-w0 // tw) * tw
-            elif w0 > 512:
-                # fixed step cost again: allow up to 128 extra pad columns
-                # to take a wider tile (swept round 2 at 1920 wide:
-                # tw=512/pad 2048 beats tw=384/pad 1920, 971 vs 942 fps)
-                for cand in (512, 384, 256):
-                    if cand <= tw:
-                        break
-                    wp_c = -(-w0 // cand) * cand
-                    if wp_c - w0 <= (wp - w0) + 128:
-                        tw, wp = cand, wp_c
-                        break
-        hp = -(-h0 // th) * th
+        grads_resident, th, tw, hp, wp = pallas_level_geometry(
+            h0, w0, dense_cfg)
         if (hp, wp) != (h0, w0):
             pad_cfg = ((0, hp - h0), (0, wp - w0))
             prev = jnp.pad(prev, pad_cfg, mode="edge")
@@ -340,9 +356,48 @@ def dense_pyramidal_lk(
     # pair into one (2, H, W) call measures 585 vs 770 fps end-to-end
     # (batched 3-D stencils lower pathologically on this backend).
     fast = dense_cfg.fast_pyramid
-    prev_levels = [prev.astype(jnp.float32)]
-    next_levels = [next_.astype(jnp.float32)]
+    h_true, w_true = prev.shape[-2:]
+    prev = prev.astype(jnp.float32)
+    next_ = next_.astype(jnp.float32)
+    if dense_cfg.pallas_pyramid and cfg.max_level > 0:
+        # Pre-pad the base ONCE to the level-0 Pallas kernel geometry
+        # (1080x1920 -> 1088x2048 in production) with the same edge mode
+        # the levels pad with.  Two effects: (a) the pair kernel's
+        # h % 16 == 0 DMA-alignment requirement holds, and (b) the halved
+        # geometry at every level is exactly what pallas_level_geometry
+        # would pad to (1088x2048 -> 544x1024 -> 272x512), so the
+        # per-level frame AND flow pads — full-array copies, ~35 MB of
+        # HBM traffic at 1080p level 0 — become no-ops.
+        n0 = dense_cfg.level_iters(0)
+        fuse0 = dense_cfg.use_pallas_fused or (
+            dense_cfg.use_pallas_warp
+            and (dense_cfg.fused_grads_in_kernel
+                 or n0 >= dense_cfg.fused_from_iters))
+        if fuse0 or dense_cfg.use_pallas_warp:
+            l0_cfg = dataclasses.replace(
+                dense_cfg, outer_iters=n0, use_pallas_fused=fuse0,
+                warp_local=dense_cfg.level_local(0))
+            _, _, _, hp, wp = pallas_level_geometry(h_true, w_true, l0_cfg)
+        else:
+            hp, wp = h_true, w_true
+        hp = -(-hp // 16) * 16   # pair-kernel DMA alignment floor
+        if (hp, wp) != (h_true, w_true):
+            pad = ((0, hp - h_true), (0, wp - w_true))
+            prev = jnp.pad(prev, pad, mode="edge")
+            next_ = jnp.pad(next_, pad, mode="edge")
+    prev_levels = [prev]
+    next_levels = [next_]
     for _ in range(cfg.max_level):
+        ph, pw = prev_levels[-1].shape
+        if dense_cfg.pallas_pyramid:
+            from lk_tpu.flow.pallas_kernels import (
+                pallas_pyr_down_pair, pyr_pair_supported)
+            if pyr_pair_supported(ph, pw):
+                pa, pb = pallas_pyr_down_pair(
+                    prev_levels[-1], next_levels[-1])
+                prev_levels.append(pa)
+                next_levels.append(pb)
+                continue
         prev_levels.append(pyr_down(prev_levels[-1], fast=fast))
         next_levels.append(pyr_down(next_levels[-1], fast=fast))
 
@@ -352,8 +407,11 @@ def dense_pyramidal_lk(
         flow = jnp.zeros((h_top, w_top, 2), jnp.float32)
     else:
         flow = init_flow.astype(jnp.float32)
-
-    import dataclasses
+        if flow.shape[:2] != (h_top, w_top):  # sized for the unpadded top
+            flow = jnp.pad(
+                flow, ((0, h_top - flow.shape[0]),
+                       (0, w_top - flow.shape[1]), (0, 0)),
+                mode="edge")
 
     result = None
     for level in range(top, -1, -1):
@@ -379,4 +437,10 @@ def dense_pyramidal_lk(
             max_disp=dense_cfg.level_disp(level),
         )
         flow = result.flow
+    if result.flow.shape[:2] != (h_true, w_true):  # crop the base pad
+        result = DenseFlowResult(
+            flow=result.flow[:h_true, :w_true],
+            min_eig=result.min_eig[:h_true, :w_true],
+            valid=result.valid[:h_true, :w_true],
+        )
     return result

@@ -1277,3 +1277,304 @@ def make_point_window_gather(
         )(starts, prev_f, next_f)
 
     return gather
+
+
+# ---------------------------------------------------------------------------
+# Dual-plane pyrDown: 5-tap Gaussian + 2x decimation for (prev, next) at once
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402  (band-matrix construction only)
+
+
+@functools.lru_cache(maxsize=1)
+def _pyr_pair_band_matrix() -> np.ndarray:
+    """(512, 128) bf16-exact band matrix: out col l of a 128-wide chunk is
+    the 5-tap [1,4,6,4,1]/16 filter of padded-input window cols 126+2l..130+2l
+    (window q covers padded cols [256q, 256q+512); see pallas_pyr_down_pair).
+    The same matrix serves every chunk — offsets are relative to the window.
+    """
+    g = (1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16)
+    m = np.zeros((512, 128), np.float32)
+    for l in range(128):  # noqa: E741
+        for k in range(5):
+            m[126 + 2 * l + k, l] = g[k]
+    return m
+
+
+def _pyr_pair_kernel(
+    af_hbm, bf_hbm, band_ref, outa_hbm, outb_hbm,
+    in_tile, v_buf, out_tile, sems,
+    *, h2, w, th2, w2p, n_q, n_bands, tile_rows,
+):
+    """Grid step s: output band (s % n_bands) of plane (s // n_bands).
+
+    The input refs are the RAW frames viewed as (h/2, 2w) fused row pairs
+    (a metadata-free reshape — no XLA prep pass), so the even/odd row split
+    the 5-tap vertical filter needs becomes two LANE-ALIGNED slices.  All
+    border handling happens in-kernel:
+
+    * tile row j holds fused row (band*th2 - 8 + j); the first band DMAs
+      with a +8 destination offset instead of a negative source row, and
+      the last band's copy is clamped to the frame (both are pl.when
+      branches with their own static descriptor, and the waits rebuild the
+      same branch so the consumed semaphore size always matches);
+    * the REFLECT_101 rows outside the frame are handled by zeroing the
+      one out-of-frame tile row each edge band actually reads and adding
+      the reflected taps back with a row-masked fix (rows -2,-1 reflect to
+      rows 2,1; row h to row h-2);
+    * the vertical-filter result lands at column offset 128 of a staging
+      buffer whose margins are zeroed once at step 0 and never rewritten,
+      so every 128-col output chunk is one bf16 banded matmul with the
+      SAME (512, 128) matrix; the two REFLECT_101 column taps the zero
+      margins drop (out col 0 and, for even w, out col w/2-1) come back as
+      lane-masked adds.
+
+    Vertical filter: 5 shifted f32 adds (exact).  Horizontal filter +
+    decimation: chunked bf16 banded matmuls (lane-stride-2 access on the
+    VPU would be a relayout per tap; the MXU does filter+decimate in one
+    pass).  Input DMAs are double-buffered across steps; output DMAs wait
+    two steps later with a final-step drain.
+    """
+    s = pl.program_id(0)
+    total = 2 * n_bands
+    slot = jax.lax.rem(s, 2)
+    oslot = 1 - slot
+    l0 = min(th2 + 8, h2)                       # band-0 copy rows
+    l_last = h2 - (n_bands - 1) * th2 + 8       # last-band copy rows
+    g0, g1, g2, g3, g4 = 0.0625, 0.25, 0.375, 0.25, 0.0625
+
+    def in_cases(ref, band_, sl, op):
+        """Issue (or wait) the band-appropriate input copy: the three
+        cases have different static sizes, so the wait must rebuild the
+        branch taken at start time."""
+        def go(copy):
+            getattr(copy, op)()
+
+        if n_bands == 1:
+            go(pltpu.make_async_copy(
+                ref.at[pl.ds(0, l0), :],
+                in_tile.at[sl, pl.ds(8, l0), :], sems.at[sl]))
+            return
+
+        @pl.when(band_ == 0)
+        def _():
+            go(pltpu.make_async_copy(
+                ref.at[pl.ds(0, l0), :],
+                in_tile.at[sl, pl.ds(8, l0), :], sems.at[sl]))
+
+        if n_bands > 2:
+            @pl.when((band_ > 0) & (band_ < n_bands - 1))
+            def _():
+                row0 = pl.multiple_of(band_ * th2 - 8, 8)
+                go(pltpu.make_async_copy(
+                    ref.at[pl.ds(row0, tile_rows), :],
+                    in_tile.at[sl], sems.at[sl]))
+
+        @pl.when(band_ == n_bands - 1)
+        def _():
+            row0 = pl.multiple_of((n_bands - 1) * th2 - 8, 8)
+            go(pltpu.make_async_copy(
+                ref.at[pl.ds(row0, l_last), :],
+                in_tile.at[sl, pl.ds(0, l_last), :], sems.at[sl]))
+
+    def start_in(s_, sl):
+        pl_ = s_ // n_bands
+        band_ = s_ - pl_ * n_bands
+
+        @pl.when(pl_ == 0)
+        def _():
+            in_cases(af_hbm, band_, sl, "start")
+
+        @pl.when(pl_ > 0)
+        def _():
+            in_cases(bf_hbm, band_, sl, "start")
+
+    def out_copy(s_, sl, op):
+        pl_ = s_ // n_bands
+        band_ = s_ - pl_ * n_bands
+        row0 = pl.multiple_of(band_ * th2, 8)
+
+        def go(ref):
+            getattr(pltpu.make_async_copy(
+                out_tile.at[sl], ref.at[pl.ds(row0, th2), :],
+                sems.at[2 + sl],
+            ), op)()
+
+        @pl.when(pl_ == 0)
+        def _():
+            go(outa_hbm)
+
+        @pl.when(pl_ > 0)
+        def _():
+            go(outb_hbm)
+
+    @pl.when(s == 0)
+    def _():
+        start_in(0, 0)
+        # staging-buffer margins: zeroed once, never rewritten
+        v_buf[:, :128] = jnp.zeros((th2, 128), jnp.float32)
+        v_buf[:, 128 + w:] = jnp.zeros(
+            (th2, v_buf.shape[1] - 128 - w), jnp.float32)
+
+    @pl.when(s < total - 1)
+    def _():
+        start_in(s + 1, oslot)
+
+    plane = s // n_bands
+    band = s - plane * n_bands
+    r0 = band * th2
+
+    # wait this step's input (band-matched descriptor => matching size)
+    @pl.when(plane == 0)
+    def _():
+        in_cases(af_hbm, band, slot, "wait")
+
+    @pl.when(plane > 0)
+    def _():
+        in_cases(bf_hbm, band, slot, "wait")
+
+    # zero the single out-of-frame row each edge band reads (row 7 is
+    # fused row -1 for band 0; row l_last is fused row h/2 for the last)
+    @pl.when(band == 0)
+    def _():
+        in_tile[slot, 7:8, :] = jnp.zeros((1, 2 * w), jnp.float32)
+
+    @pl.when(band == n_bands - 1)
+    def _():
+        in_tile[slot, l_last:l_last + 1, :] = jnp.zeros(
+            (1, 2 * w), jnp.float32)
+
+    # vertical 5-tap at even output rows: with tile row j = fused row
+    # r0-8+j, out row i needs fused rows i-1 (e,o), i (e,o), i+1 (e)
+    t = in_tile[slot]
+    em1 = t[7:7 + th2, :w]
+    om1 = t[7:7 + th2, w:]
+    e0 = t[8:8 + th2, :w]
+    o0 = t[8:8 + th2, w:]
+    ep1 = t[9:9 + th2, :w]
+    v = g0 * em1 + g1 * om1 + g2 * e0 + g3 * o0 + g4 * ep1
+
+    # REFLECT_101 row fixes: out row 0 reflects raw rows -2,-1 -> 2,1
+    # (= ep1, o0 at row 0); out row h/2-1 (h even) reflects row h -> h-2
+    # (= e0 at that row).  The zeroed tile rows dropped exactly these taps.
+    gr = jax.lax.broadcasted_iota(jnp.int32, (th2, 1), 0) + r0
+    v = v + jnp.where((band == 0) & (gr == 0), g0 * ep1 + g1 * o0, 0.0)
+    v = v + jnp.where((band == n_bands - 1) & (gr == h2 - 1),
+                      g4 * e0, 0.0)
+    v_buf[:, 128:128 + w] = v
+
+    m = band_ref[:]
+    cols = []
+    qr = ((w // 2 - 1) // 128, (w // 2 - 1) % 128)   # right-edge chunk/lane
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th2, 128), 1)
+    for q in range(n_q):
+        win = v_buf[:, 256 * q:256 * q + 512].astype(jnp.bfloat16)
+        c = jax.lax.dot_general(
+            win, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # REFLECT_101 column fixes (zero margins dropped these taps):
+        # out col 0 reflects raw cols -2,-1 -> 2,1; out col w/2-1 (w even)
+        # reflects col w -> w-2
+        if q == 0:
+            c = c + jnp.where(
+                lane == 0, g0 * v[:, 2:3] + g1 * v[:, 1:2], 0.0)
+        if q == qr[0] and w % 2 == 0:
+            c = c + jnp.where(lane == qr[1], g4 * v[:, w - 2:w - 1], 0.0)
+        cols.append(c)
+
+    @pl.when(s >= 2)
+    def _():
+        out_copy(s - 2, slot, "wait")     # this slot's copy, two steps ago
+
+    out_tile[slot] = jnp.concatenate(cols, axis=1)
+    out_copy(s, slot, "start")
+
+    @pl.when(s == total - 1)
+    def _():
+        out_copy(s, slot, "wait")         # this step's own write
+        if total >= 2:
+            out_copy(s - 1, oslot, "wait")  # step total-2's write
+
+
+def pyr_pair_supported(h: int, w: int) -> bool:
+    """Geometry the in-kernel-prep pair kernel handles: h % 16 == 0 so every
+    band's HBM row slice of the fused (h/2, 2w) view is sublane-aligned
+    (Mosaic rejects copy lengths/offsets not divisible by 8 — measured:
+    'Slice shape along dimension 0 must be aligned to tiling (8)'),
+    lane-aligned width, and >= one 512-wide matmul window.  The production
+    integration pads the pyramid base 1080 -> 1088 rows once (edge mode,
+    matching the level kernels' own pad) so L0 (1088x1920) qualifies; L1
+    (544x960) falls back to the XLA fast path on width."""
+    return h % 16 == 0 and w % 128 == 0 and w >= 512 and h >= 16
+
+
+def pallas_pyr_down_pair(
+    a: jnp.ndarray, b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cv.pyrDown-geometry decimation of TWO same-shape frames in ONE kernel.
+
+    Matches ops.blur.pyr_down (5-tap [1,4,6,4,1]/16, REFLECT_101 border,
+    even-pixel decimation, out size h/2 x ceil(w/2)) to bf16 data rounding
+    in the column pass (the vertical pass is exact f32) — the same accuracy
+    class as pyr_down(fast=True), gated end-to-end by bench.py's EPE check.
+    Reference role: cv.pyrDown inside cv.calcOpticalFlowPyrLK's pyramid
+    (LK_Final.py:531-532 uses maxLevel pyramids per frame pair).
+
+    Rationale (all measured on v5e @1080p): the XLA fast path costs ~66 us
+    per frame pair (two dense banded matmuls each); a first Pallas version
+    that reflect-padded in XLA spent 79 us in the pads alone.  This kernel
+    reads the raw frames directly as fused row-pair views and does ALL
+    border handling in-kernel (see _pyr_pair_kernel), leaving only
+    HBM-bandwidth-bound traffic: each frame read ~1.1x once, each
+    quarter-size result written once (~40 us/pair, both planes sharing one
+    grid to amortize the fixed per-step DMA cost).
+    """
+    h, w = a.shape
+    assert b.shape == (h, w), (a.shape, b.shape)
+    assert pyr_pair_supported(h, w), (h, w)
+    h2 = h // 2
+    w2 = -(-w // 2)
+    w2p = -(-w2 // 128) * 128
+    n_q = w2p // 128
+    if h2 > 272:
+        th2 = 136
+    else:
+        th2 = -(-h2 // 8) * 8
+    n_bands = -(-h2 // th2)
+    h2p = n_bands * th2
+    tile_rows = th2 + 16
+
+    fused = (a.astype(jnp.float32).reshape(h2, 2 * w),
+             b.astype(jnp.float32).reshape(h2, 2 * w))
+    kernel = functools.partial(
+        _pyr_pair_kernel, h2=h2, w=w, th2=th2, w2p=w2p, n_q=n_q,
+        n_bands=n_bands, tile_rows=tile_rows,
+    )
+    outa, outb = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h2p, w2p), jnp.float32),
+            jax.ShapeDtypeStruct((h2p, w2p), jnp.float32),
+        ),
+        grid=(2 * n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_rows, 2 * w), jnp.float32),
+            pltpu.VMEM((th2, 2 * w2p + 256), jnp.float32),
+            pltpu.VMEM((2, th2, w2p), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+    )(*fused, jnp.asarray(_pyr_pair_band_matrix(), jnp.bfloat16))
+    return outa[:h2, :w2], outb[:h2, :w2]

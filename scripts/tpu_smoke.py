@@ -115,6 +115,21 @@ def main():
     check("fused in-grid x2 vs chained 1+1 @1080p",
           np.abs(fus2 - chain)[80:-80, 80:-80].max(), 1e-4)
 
+    # --- 2b. dual-plane Pallas pyrDown vs the exact XLA path ---------------
+    # Mosaic-sensitive pieces: fused row-pair HBM views, band-edge DMA
+    # branches, zero-margin staging buffer, masked REFLECT_101 fixes.
+    from lk_tpu.flow.pallas_kernels import (
+        pallas_pyr_down_pair, pyr_pair_supported)
+    from lk_tpu.ops.blur import pyr_down
+
+    ap = jnp.asarray(np.pad(img, ((0, 8), (0, 0)), mode="edge"))
+    bp_ = jnp.asarray(np.pad(nxt, ((0, 8), (0, 0)), mode="edge"))
+    assert pyr_pair_supported(*ap.shape)
+    pa, pb = jax.jit(pallas_pyr_down_pair)(ap, bp_)
+    check("pallas pyr_down pair @1088x1920 (bf16 column pass)",
+          max(float(jnp.abs(pa - pyr_down(ap)).max()),
+              float(jnp.abs(pb - pyr_down(bp_)).max())), 0.6)
+
     # --- 3. full production path EPE vs OpenCV -----------------------------
     pts = np.stack(np.mgrid[40:h - 40:32, 40:w - 40:32][::-1],
                    -1).reshape(-1, 2).astype(np.float32)
@@ -124,7 +139,7 @@ def main():
         criteria=(cv.TERM_CRITERIA_EPS | cv.TERM_CRITERIA_COUNT, 10, 0.03))
     cvf = p1.reshape(-1, 2) - pts
     stm = st.reshape(-1).astype(bool)
-    d = DenseLKConfig(use_pallas_warp=True)
+    d = DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True)
     fl = np.asarray(jax.jit(
         lambda x, y: dense_pyramidal_lk(x, y, LKConfig(), dense_cfg=d).flow
     )(a, b))
