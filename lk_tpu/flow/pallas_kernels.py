@@ -143,11 +143,23 @@ def _warp_start(next_hbm, fx, fy, y0, x0, scratch, sem,
 
 def _warp_finish(state, fx, fy, y0, x0, scratch,
                  *, h, w, pad_y, pad_x, max_disp, th, tw, local):
-    """Select/lerp phase of the warp; waits the DMA issued by _warp_start."""
+    """Select/lerp phase of the warp; waits the DMA issued by _warp_start.
+
+    Both alignment remainders are undone on the window itself — the column
+    remainder by Mosaic's dynamic lane roll, the ROW remainder by three
+    static-shift sublane rolls selected by the bits of extra_y (the dynamic
+    axis-0 roll is miscompiled for non-power-of-two sublane-group counts:
+    measured (304, *) shifts by s+32 and (40, *) by s+24, while 64 rows is
+    exact; static shifts are exact at any geometry).  With the row shift
+    gone from rel_y, BOTH select passes need only 2*local+2 taps (the
+    vertical pass had been 2*local+9), each tap one tent-weight FMA:
+    m_d = max(0, 1 - |rel - d|) == [di==d](1-f) + [di==d-1]f, the merged
+    bilinear weight.  Measured at 1080p L0 (local=3): 0.459 -> 0.354
+    ms/call, bit-identical output."""
     dma, src_y_raw, src_x_raw, src_y, src_x = state
     bound = jnp.float32(max_disp)
-    extra_y = src_y_raw - src_y        # 0..7, folded into rel_y
-    extra_x = src_x_raw - src_x        # 0..127, undone by the roll below
+    extra_y = src_y_raw - src_y        # 0..7, undone by the axis-0 rolls
+    extra_x = src_x_raw - src_x        # 0..127, undone by the lane roll
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -156,16 +168,10 @@ def _warp_finish(state, fx, fy, y0, x0, scratch,
     gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
     rel_y = jnp.clip(
         gy + pad_y - src_y_raw.astype(jnp.float32) - rows, 0.0, 2.0 * local
-    ) + extra_y.astype(jnp.float32)
+    )
     rel_x = jnp.clip(
         gx + pad_x - src_x_raw.astype(jnp.float32) - cols, 0.0, 2.0 * local
     )
-    dyi = jnp.floor(rel_y)
-    dxi = jnp.floor(rel_x)
-    fy_frac = rel_y - dyi
-    fx_frac = rel_x - dxi
-    dyi = dyi.astype(jnp.int32)
-    dxi = dxi.astype(jnp.int32)
 
     dma.wait()
     # undo the column alignment: rotate window left by extra_x lanes.
@@ -174,37 +180,30 @@ def _warp_finish(state, fx, fy, y0, x0, scratch,
     win = pltpu.roll(scratch[:].astype(jnp.float32), shift=-extra_x, axis=1)
 
     vw = tw + 2 * local + 1   # columns the horizontal pass consumes
+    # slice to the used columns before the row rolls (lane-aligned = free)
+    win = win[:, :-(-vw // 128) * 128]
+    for bit in (1, 2, 4):
+        r = pltpu.roll(win, shift=win.shape[0] - bit, axis=0)
+        win = jnp.where((extra_y & bit) != 0, r, win)
 
     def widen(a):
         tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, vw - tw))
         return jnp.concatenate([a, tail], axis=1)
 
-    # vertical pass; rel_y spans [0, 2*local + 7] (the +7 from row alignment).
-    # Halo columns reuse the edge column's selection — the horizontal pass
-    # only reads column c + dxi(c) for output column c, where rel_y's column
-    # mismatch is the same second-order flow-Jacobian term as the separable
-    # XLA warp's.
-    # Both passes fold the bilinear pair into ONE merged-weight tap per
-    # offset — m_d = [dyi==d](1-f) + [dyi==d-1]f — instead of two
-    # accumulators over adjacent slices: each tap's sliced read is a Mosaic
-    # relayout (lane shifts for the horizontal pass), and merging halves
-    # the slice count (2(2L+8) -> 2L+9 reads).  Algebraically identical:
-    # sum(m_d w_d) = (1-f)acc0 + f acc1.
-    omf = 1.0 - fy_frac
+    # vertical pass; halo columns reuse the edge column's selection — the
+    # horizontal pass only reads column c + dxi(c) for output column c,
+    # where rel_y's column mismatch is the same second-order flow-Jacobian
+    # term as the separable XLA warp's.
+    rel_y_w = widen(rel_y)
     acc = jnp.zeros((th, vw), jnp.float32)
-    for d in range(2 * local + 9):
-        m = (dyi == d).astype(jnp.float32) * omf
-        if d > 0:
-            m = m + (dyi == d - 1).astype(jnp.float32) * fy_frac
-        acc = acc + widen(m) * win[d:d + th, :vw]
+    for d in range(2 * local + 2):
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y_w - d))
+        acc = acc + m * win[d:d + th, :vw]
     vert = acc                           # (th, vw)
 
-    omx = 1.0 - fx_frac
     out = jnp.zeros((th, tw), jnp.float32)
     for d in range(2 * local + 2):
-        m = (dxi == d).astype(jnp.float32) * omx
-        if d > 0:
-            m = m + (dxi == d - 1).astype(jnp.float32) * fx_frac
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x - d))
         out = out + m * vert[:, d:d + tw]
     return out
 

@@ -1,0 +1,410 @@
+"""Ablation timing of the L0 fused grads kernel (272x512 tiles, 1 iter).
+
+Copies _fused_level_grads_kernel with short-circuit flags so the DMA
+schedule stays identical while individual compute stages are removed:
+  full      — production kernel
+  no_warp   — _warp_finish skipped (jw := prev_w; warp DMA still runs)
+  no_asums  — structure-tensor box sums replaced by constants
+  no_bsums  — b box sums replaced by constants
+  no_scharr — gradients replaced by cheap shifts
+  no_box    — both A and b sums constant
+
+Differential chain timing (slope between 10- and 40-iteration chains);
+run alone on the TPU.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from lk_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lk_tpu.flow.pallas_kernels import (
+    _HALO, _asym_pads, _boxsum_tile_mxu, _warp_finish, _warp_start,
+    _win_shape,
+)
+
+H, W = 1088, 2048
+TILE_H, TILE_W = 272, 512
+LOCAL = 3
+MAX_DISP = 32
+N_ITERS = 1
+
+
+def _warp_finish_rolly(state, fx, fy, y0, x0, scratch,
+                       *, h, w, pad_y, pad_x, max_disp, th, tw, local):
+    """Variant: undo the ROW alignment remainder with a sublane roll (like
+    the column pass) so the vertical select needs 2*local+2 taps, not
+    2*local+9.  Weights use the tent form max(0, 1-|rel-d|) == the merged
+    bilinear weight; masks computed at full vw width (widen once)."""
+    dma, src_y_raw, src_x_raw, src_y, src_x = state
+    bound = jnp.float32(max_disp)
+    extra_y = src_y_raw - src_y        # 0..7, undone by the axis-0 roll
+    extra_x = src_x_raw - src_x        # 0..127, undone by the axis-1 roll
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
+    gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
+    rel_y = jnp.clip(
+        gy + pad_y - src_y_raw.astype(jnp.float32) - rows, 0.0, 2.0 * local
+    )
+    rel_x = jnp.clip(
+        gx + pad_x - src_x_raw.astype(jnp.float32) - cols, 0.0, 2.0 * local
+    )
+
+    dma.wait()
+    win = pltpu.roll(scratch[:].astype(jnp.float32), shift=-extra_x, axis=1)
+    vw = tw + 2 * local + 1
+    # undo the row alignment with STATIC-shift rolls selected by the bits of
+    # extra_y: the dynamic axis-0 roll is miscompiled for non-power-of-two
+    # sublane-group counts (measured: (304,*) shifts by s+32, (40,*) by
+    # s+24; 64 rows exact) — static shifts are exact at any geometry.
+    win = win[:, :-(-vw // 128) * 128]
+    for bit in (1, 2, 4):
+        r = pltpu.roll(win, shift=win.shape[0] - bit, axis=0)
+        win = jnp.where((extra_y & bit) != 0, r, win)
+
+    def widen(a):
+        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, vw - tw))
+        return jnp.concatenate([a, tail], axis=1)
+
+    rel_y_w = widen(rel_y)
+    acc = jnp.zeros((th, vw), jnp.float32)
+    for d in range(2 * local + 2):
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y_w - d))
+        acc = acc + m * win[d:d + th, :vw]
+    vert = acc
+
+    out = jnp.zeros((th, tw), jnp.float32)
+    for d in range(2 * local + 2):
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x - d))
+        out = out + m * vert[:, d:d + tw]
+    return out
+
+
+def _kernel(
+    next_hbm, prev_hbm, flowbuf_hbm,
+    out_hbm, stats_hbm,
+    win_scratch, prev_scratch, flow_scratch, out_tile, stats_tile, sems,
+    *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats,
+    do_warp, do_asums, do_bsums, do_scharr, warp_mode="base",
+):
+    k = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    etw_dma_p = prev_scratch.shape[-1]
+    tw_dma_out = out_tile.shape[-1]
+    tiles = n_ty * n_tx
+    s = (k * n_ty + ti) * n_tx + tj
+    slot = jax.lax.rem(s, 2)
+    oslot = 1 - slot
+
+    def prev_copy(ti_, tj_, sl):
+        return pltpu.make_async_copy(
+            prev_hbm.at[
+                pl.ds(pl.multiple_of(ti_ * tile_h, 8), tile_h + 32),
+                pl.ds(pl.multiple_of(tj_ * tile_w, 128), etw_dma_p),
+            ],
+            prev_scratch.at[sl], sems.at[sl],
+        )
+
+    def flow_copy(buf, kk, ti_, tj_, sl):
+        src = jax.lax.rem(kk, 2) * 2
+        return pltpu.make_async_copy(
+            buf.at[
+                pl.ds(src, 2),
+                pl.ds(pl.multiple_of(ti_ * tile_h, 8), eth),
+                pl.ds(pl.multiple_of(tj_ * tile_w, 128), etw_dma),
+            ],
+            flow_scratch.at[sl], sems.at[2 + sl],
+        )
+
+    def start_flow(kk, ti_, tj_, sl):
+        @pl.when(kk == 0)
+        def _():
+            flow_copy(flowbuf_hbm, kk, ti_, tj_, sl).start()
+
+        @pl.when(kk > 0)
+        def _():
+            flow_copy(out_hbm, kk, ti_, tj_, sl).start()
+
+    def out_copy(kk, ti_, tj_, sl):
+        if merge_stats:
+            dst, n_pl = 0, 4
+        else:
+            dst, n_pl = 2 - jax.lax.rem(kk, 2) * 2, 2
+        return pltpu.make_async_copy(
+            out_tile.at[sl],
+            out_hbm.at[
+                pl.ds(dst, n_pl),
+                pl.ds(pl.multiple_of(ti_ * tile_h + _HALO, 8), tile_h),
+                pl.ds(pl.multiple_of(tj_ * tile_w + 128, 128), tw_dma_out),
+            ],
+            sems.at[5 + sl],
+        )
+
+    @pl.when(s == 0)
+    def _():
+        prev_copy(ti, tj, slot).start()
+
+    first_tile = (ti == 0) & (tj == 0)
+
+    @pl.when(first_tile)
+    def _():
+        start_flow(k, ti, tj, slot)
+
+    flow_copy(flowbuf_hbm, k, ti, tj, slot).wait()
+
+    c0 = 128 - _HALO
+    fx_w = flow_scratch[slot, 0, :, c0:c0 + etw]
+    fy_w = flow_scratch[slot, 1, :, c0:c0 + etw]
+
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    wstate = _warp_start(
+        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+        pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
+        ref_cy=eth // 2, ref_cx=etw // 2,
+    )
+
+    at_row_end = tj == n_tx - 1
+    nti = jnp.where(at_row_end, ti + 1, ti)
+    ntj = jnp.where(at_row_end, 0, tj + 1)
+    last_tile = (ti == n_ty - 1) & (tj == n_tx - 1)
+
+    @pl.when(jnp.logical_not(last_tile))
+    def _():
+        prev_copy(nti, ntj, oslot).start()
+        start_flow(k, nti, ntj, oslot)
+
+    @pl.when(last_tile & (k < n_iters - 1))
+    def _():
+        prev_copy(0, 0, oslot).start()
+
+    prev_copy(ti, tj, slot).wait()
+
+    p = prev_scratch[slot]
+    if do_scharr:
+        sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+              + 10.0 * p[8:8 + eth, 119:121 + etw]
+              + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+        ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+        sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+              + 10.0 * p[7:9 + eth, 120:120 + etw]
+              + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+        iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+    else:
+        ix_w = p[8:8 + eth, 120:120 + etw] * 0.01
+        iy_w = p[8:8 + eth, 120:120 + etw] * 0.02
+    prev_w = p[8:8 + eth, 120:120 + etw]
+
+    if do_asums:
+        a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
+        a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
+        a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
+    else:
+        a11 = jnp.full((tile_h, tile_w), 3.0, jnp.float32)
+        a12 = jnp.full((tile_h, tile_w), 0.1, jnp.float32)
+        a22 = jnp.full((tile_h, tile_w), 2.0, jnp.float32)
+    det = a11 * a22 - a12 * a12
+    min_eig = (a11 + a22 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * area_f
+    )
+    solvable = det > 1e-7
+    validf = jnp.where((min_eig >= eig_thr) & solvable, 1.0, 0.0)
+    invd = validf / jnp.where(solvable, det, 1.0)
+
+    def extend_cols(a):
+        if tw_dma_out == tile_w:
+            return a
+        ext = tw_dma_out - tile_w
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:, -1:], (tile_h, ext))], axis=1
+        )
+
+    if do_warp:
+        fin = _warp_finish if warp_mode == "base" else _warp_finish_rolly
+        jw = fin(
+            wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
+            h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+            th=eth, tw=etw, local=local,
+        )
+    else:
+        wstate[0].wait()
+        jw = prev_w * 1.0001
+
+    r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
+    if do_bsums:
+        b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
+        b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
+    else:
+        b1 = r[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w] * 2.0
+        b2 = r[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w] * 3.0
+    fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    b1 = b1 + a11 * fx_t + a12 * fy_t
+    b2 = b2 + a12 * fx_t + a22 * fy_t
+    du = (a12 * b2 - a22 * b1) * invd
+    dv = (a12 * b1 - a11 * b2) * invd
+    bound = jnp.float32(bound_f)
+    fx_new = extend_cols(jnp.clip(fx_t + du, -bound, bound))
+    fy_new = extend_cols(jnp.clip(fy_t + dv, -bound, bound))
+
+    @pl.when(s >= 2)
+    def _():
+        out_copy(k, ti, tj, slot).wait()
+
+    out_tile[slot, 0] = fx_new
+    out_tile[slot, 1] = fy_new
+    if merge_stats:
+        out_tile[slot, 2] = extend_cols(min_eig)
+        out_tile[slot, 3] = extend_cols(validf)
+    out_copy(k, ti, tj, slot).start()
+
+    total = n_iters * tiles
+
+    @pl.when(s == total - 1)
+    def _():
+        out_copy(k, ti, tj, slot).wait()
+        if total >= 2:
+            out_copy(k, ti, tj, oslot).wait()
+
+
+def build(next_img, prev_img, **flags):
+    h, w = next_img.shape
+    tile_h, tile_w, local, win_k = TILE_H, TILE_W, LOCAL, 15
+    max_disp, n_iters = MAX_DISP, N_ITERS
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
+    sh, sw = _win_shape(eth, etw, local)
+    pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
+                                            max_disp, local)
+    next_pad = jnp.pad(next_img.astype(jnp.float32),
+                       ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
+    prev_ext = jnp.pad(prev_img.astype(jnp.float32), ((16, 16), (128, 256)),
+                       mode="edge")
+    gy = _HALO
+    hext = h + 2 * gy
+    wext = w + 128 + 256
+    n_ty = h // tile_h
+    n_tx = w // tile_w
+    grid = (n_iters, n_ty, n_tx)
+    tw_pad = -(-tile_w // 128) * 128
+    kernel = functools.partial(
+        _kernel, h=h, w=w, pad_y=pad_t, pad_x=pad_l, max_disp=max_disp,
+        tile_h=tile_h, tile_w=tile_w, local=local, win_k=win_k,
+        bound_f=float(max_disp), area_f=float(win_k * win_k),
+        eig_thr=1e-4 * 1024.0, n_iters=n_iters, n_ty=n_ty, n_tx=n_tx,
+        merge_stats=True, **flags,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, hext, wext), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((2, tile_h + 32, etw_dma_p), jnp.float32),
+            pltpu.VMEM((2, 2, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((2, 4, tile_h, tw_pad), jnp.float32),
+            pltpu.VMEM((2, 1, tile_h, tw_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )
+
+    def pad_flow(x):
+        return jnp.pad(x.astype(jnp.float32), ((gy, gy), (128, 256)),
+                       mode="edge")
+
+    def run(flow_init):
+        fx = pad_flow(flow_init[..., 0])
+        fy = pad_flow(flow_init[..., 1])
+        out, _ = call(next_pad, prev_ext, jnp.stack([fx, fy]))
+        return jnp.moveaxis(out[0:2, gy:gy + h, 128:128 + w], 0, -1)
+
+    return run
+
+
+def time_variant(name, prev, nxt, flow0, **flags):
+    run = build(nxt, prev, **flags)
+
+    def chained(n):
+        @jax.jit
+        def go(f0):
+            def body(i, f):
+                return run(f * (1.0 - 1e-12)) * 1e-6 + f * (1 - 1e-6)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, f0))
+        return go
+
+    r0, r1 = chained(10), chained(40)
+    float(r0(flow0)); float(r1(flow0))
+    t0s, t1s = [], []
+    for _ in range(5):
+        t = time.perf_counter(); float(r0(flow0))
+        t0s.append(time.perf_counter() - t)
+        t = time.perf_counter(); float(r1(flow0))
+        t1s.append(time.perf_counter() - t)
+    ms = (min(t1s) - min(t0s)) / 30 * 1e3
+    print(f"{name:12s} {ms:7.3f} ms/call  ({ms / 16 * 1e3:6.1f} us/tile)")
+    return ms
+
+
+def main():
+    rng = np.random.default_rng(7)
+    prev = jnp.asarray((rng.random((H, W)) * 255).astype(np.float32))
+    nxt = jnp.asarray((rng.random((H, W)) * 255).astype(np.float32))
+    flow0 = jnp.zeros((H, W, 2), jnp.float32)
+    base = dict(do_warp=True, do_asums=True, do_bsums=True, do_scharr=True)
+    cases = [
+        ("full", {}),
+        ("rolly", {"warp_mode": "rolly"}),
+    ]
+    # numeric check first: rolly must match base exactly on smooth flow
+    if os.environ.get("EXP_CHECK", "1") == "1":
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        f = np.stack([3.0 + 2.5 * np.sin(xx / 300.0) + yy / 700.0,
+                      -2.0 + 1.8 * np.cos(yy / 250.0) + xx / 900.0], -1)
+        fj = jnp.asarray(f)
+        a = build(nxt, prev, **base)(fj)
+        b = build(nxt, prev, **{**base, "warp_mode": "rolly"})(fj)
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        print("rolly max|diff| =", float(d.max()))
+    for name, over in cases:
+        time_variant(name, prev, nxt, flow0, **{**base, **over})
+
+
+if __name__ == "__main__":
+    main()
