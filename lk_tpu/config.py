@@ -82,6 +82,13 @@ class DenseLKConfig:
     # gate).  Off = warp-only XLA glue + the precomputed-A fused kernel at
     # >= fused_from_iters.
     fused_grads_in_kernel: bool = True
+    # Hand flow between grads-fused pyramid levels as HALF-res planes
+    # upsampled inside the consumer kernel (banded MXU matmuls) instead of
+    # the XLA upsample + plane split/join + full-res flow pad between level
+    # calls (~0.25 ms/frame of glue at 1080p, measured).  Only activates at
+    # single-iteration pad-free levels with aligned tiles; off = the
+    # per-level XLA upsample path everywhere (A/B and debugging).
+    fused_coarse_chain: bool = True
     # bf16 data for the bandwidth-bound stages of the XLA level path: the
     # five 15x15 box sums (structure tensor + right-hand side) and the warp
     # window DMA.  Accumulation error ~1e-2 relative; gate with bench's EPE.

@@ -146,8 +146,18 @@ def dense_lk_level(
     cfg: LKConfig = LKConfig(),
     dense_cfg: DenseLKConfig = DenseLKConfig(),
     max_disp: int | None = None,
+    coarse_planes_init: jnp.ndarray | None = None,
+    planes_out: bool = False,
 ) -> DenseFlowResult:
-    """One pyramid level of window-coherent dense LK refinement."""
+    """One pyramid level of window-coherent dense LK refinement.
+
+    coarse_planes_init / planes_out are the fused pyramid chain's internal
+    interface (dense_pyramidal_lk): when coarse_planes_init is given
+    (shape (2, H//2, W//2) — the coarser level's flow planes), flow_init is
+    ignored and the Pallas grads kernel upsamples in-VMEM; with planes_out
+    the returned .flow is (2, H, W) planes instead of (H, W, 2).  Both
+    require the grads-in-kernel fused path at a pad-free geometry (the
+    caller gates)."""
     win = cfg.win_size
     win_w, win_h = win
     area = jnp.float32(win_w * win_h)
@@ -165,6 +175,8 @@ def dense_lk_level(
         grads_resident, th, tw, hp, wp = pallas_level_geometry(
             h0, w0, dense_cfg)
         if (hp, wp) != (h0, w0):
+            assert coarse_planes_init is None, (
+                "coarse-chain levels must be pad-free")
             pad_cfg = ((0, hp - h0), (0, wp - w0))
             prev = jnp.pad(prev, pad_cfg, mode="edge")
             next_ = jnp.pad(next_, pad_cfg, mode="edge")
@@ -173,6 +185,7 @@ def dense_lk_level(
             )
     else:
         tw = None
+        assert coarse_planes_init is None and not planes_out
 
     h, w = prev.shape[-2:]
     eps2 = jnp.float32(cfg.eps * cfg.eps)
@@ -190,10 +203,12 @@ def dense_lk_level(
 
         assert win_w == win_h, "fused grads kernel needs a square window"
         if grads_resident:
+            assert coarse_planes_init is None
             run = make_fused_lk_level_grads_resident(
                 next_, prev, n_iters=dense_cfg.outer_iters,
                 min_eig_threshold=cfg.min_eig_threshold,
                 max_disp=r_disp, win_k=win_h, local=dense_cfg.warp_local,
+                planes_out=planes_out,
             )
         else:
             run = make_fused_lk_level_grads(
@@ -201,15 +216,24 @@ def dense_lk_level(
                 min_eig_threshold=cfg.min_eig_threshold,
                 max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
                 local=dense_cfg.warp_local,
+                coarse_flow=coarse_planes_init is not None,
+                planes_out=planes_out,
             )
-        flow, min_eig, valid = run(flow_init.astype(jnp.float32))
+        if coarse_planes_init is not None:
+            flow, min_eig, valid = run(
+                coarse_planes_init.astype(jnp.float32))
+        else:
+            flow, min_eig, valid = run(flow_init.astype(jnp.float32))
         h0, w0 = orig_hw
-        if flow.shape[:2] != (h0, w0):
-            flow = flow[:h0, :w0]
+        fhw = flow.shape[1:] if planes_out else flow.shape[:2]
+        if fhw != (h0, w0):
+            flow = (flow[:, :h0, :w0] if planes_out else flow[:h0, :w0])
             min_eig = min_eig[:h0, :w0]
             valid = valid[:h0, :w0]
         return DenseFlowResult(flow=flow, min_eig=min_eig, valid=valid)
 
+    assert coarse_planes_init is None and not planes_out, (
+        "plane-layout I/O requires the grads-in-kernel fused path")
     ix, iy = scharr_derivatives(prev)
     sum_dtype = jnp.bfloat16 if dense_cfg.bf16_box_sums else jnp.float32
     # The fused kernel's b sums see edge-replicated halos at frame borders;
@@ -413,11 +437,8 @@ def dense_pyramidal_lk(
                        (0, w_top - flow.shape[1]), (0, 0)),
                 mode="edge")
 
-    result = None
-    for level in range(top, -1, -1):
-        if level != top:
-            h, w = prev_levels[level].shape[-2:]
-            flow = _upsample_flow(flow, h, w)
+    level_cfgs = []
+    for level in range(top + 1):
         n_it = dense_cfg.level_iters(level)
         # Levels with enough iterations amortize the precomputed-A fused
         # kernel's setup; 1-2 iteration levels stay on the lighter warp-only
@@ -428,15 +449,54 @@ def dense_pyramidal_lk(
             and (dense_cfg.fused_grads_in_kernel
                  or n_it >= dense_cfg.fused_from_iters)
         )
-        level_cfg = dataclasses.replace(
+        level_cfgs.append(dataclasses.replace(
             dense_cfg, outer_iters=n_it, use_pallas_fused=fuse,
             warp_local=dense_cfg.level_local(level),
-        )
+        ))
+
+    def _grads_path(level: int) -> bool:
+        c = level_cfgs[level]
+        return c.use_pallas_fused and c.fused_grads_in_kernel
+
+    # Fused coarse chain: level L consumes level L+1's flow as HALF-res
+    # (2, h/2, w/2) planes upsampled inside the kernel (banded MXU matmuls)
+    # iff both levels run the grads fused path, L is single-iteration,
+    # pad-free at its Pallas geometry, and tile-gated for the provably
+    # aligned coarse-window DMA.  Kills the per-level XLA upsample +
+    # plane split/join + full-res flow pad (~0.25 ms/frame at 1080p).
+    coarse_ok = [False] * (top + 1)
+    for level in range(top if dense_cfg.fused_coarse_chain else 0):
+        c = level_cfgs[level]
+        if not (_grads_path(level) and _grads_path(level + 1)
+                and c.outer_iters == 1):
+            continue
+        h, w = prev_levels[level].shape[-2:]
+        h2, w2 = prev_levels[level + 1].shape[-2:]
+        if (h2, w2) != (h // 2, w // 2):
+            continue
+        g_res, th, tw, hp, wp = pallas_level_geometry(h, w, c)
+        coarse_ok[level] = (not g_res and (hp, wp) == (h, w)
+                            and th % 16 == 0 and tw % 256 == 0)
+
+    result = None
+    planes = False     # whether `flow` carries (2, h, w) plane layout
+    for level in range(top, -1, -1):
+        use_coarse = level != top and coarse_ok[level] and planes
+        if level != top and not use_coarse:
+            h, w = prev_levels[level].shape[-2:]
+            if planes:
+                flow = jnp.moveaxis(flow, 0, -1)
+            flow = _upsample_flow(flow, h, w)
+        want_planes = level > 0 and coarse_ok[level - 1]
         result = dense_lk_level(
-            prev_levels[level], next_levels[level], flow, cfg, level_cfg,
+            prev_levels[level], next_levels[level],
+            None if use_coarse else flow, cfg, level_cfgs[level],
             max_disp=dense_cfg.level_disp(level),
+            coarse_planes_init=flow if use_coarse else None,
+            planes_out=want_planes,
         )
         flow = result.flow
+        planes = want_planes
     if result.flow.shape[:2] != (h_true, w_true):  # crop the base pad
         result = DenseFlowResult(
             flow=result.flow[:h_true, :w_true],

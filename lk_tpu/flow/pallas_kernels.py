@@ -112,12 +112,13 @@ def _asym_pads(tile_h: int, tile_w: int, sh: int, sw: int,
     return pad_t, pad_b, pad_l, pad_r
 
 
-def _warp_start(next_hbm, fx, fy, y0, x0, scratch, sem,
-                *, pad_y, pad_x, max_disp, local, ref_cy, ref_cx):
+def _warp_start(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
+                *, pad_y, pad_x, max_disp, local):
     """Issue the warp-window DMA for a (th, tw) region at global (y0, x0).
 
-    Needs only the tile-center flow value, so callers can start the DMA as
-    soon as the flow window lands and overlap it with unrelated compute
+    Needs only a scalar reference displacement (ref_fx, ref_fy) — callers
+    pass the tile-center flow value — so the DMA can start as soon as that
+    value is known and overlap with unrelated compute
     (Scharr/structure-tensor work) before calling ``_warp_finish``.
 
     pad_y/pad_x: the TOP/LEFT padding of next_hbm (padding may be
@@ -125,8 +126,8 @@ def _warp_start(next_hbm, fx, fy, y0, x0, scratch, sem,
     which the other three sides need not pay).
     """
     bound = jnp.float32(max_disp)
-    dy0 = jnp.round(jnp.clip(fy[ref_cy, ref_cx], -bound, bound)).astype(jnp.int32)
-    dx0 = jnp.round(jnp.clip(fx[ref_cy, ref_cx], -bound, bound)).astype(jnp.int32)
+    dy0 = jnp.round(jnp.clip(ref_fy, -bound, bound)).astype(jnp.int32)
+    dx0 = jnp.round(jnp.clip(ref_fx, -bound, bound)).astype(jnp.int32)
     src_y_raw = y0 + pad_y + dy0 - local
     src_x_raw = x0 + pad_x + dx0 - local
     # multiple_of: Mosaic must *prove* tile-aligned DMA offsets; without the
@@ -219,9 +220,8 @@ def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
     block; residual displacement beyond ±local of the reference clamps.
     """
     state = _warp_start(
-        next_hbm, fx, fy, y0, x0, scratch, sem,
-        pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
-        ref_cy=ref_cy, ref_cx=ref_cx,
+        next_hbm, fx[ref_cy, ref_cx], fy[ref_cy, ref_cx], y0, x0, scratch,
+        sem, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
     )
     return _warp_finish(
         state, fx, fy, y0, x0, scratch,
@@ -470,12 +470,56 @@ def _boxsum_tile_mxu(p, win_k: int, tile_h: int, tile_w: int):
     )
 
 
+def _upsample2_band(n_out: int, n_in: int, off: int, scale: float,
+                    transposed: bool = False):
+    """Band matrix for the exact 2x linear upsample of
+    ops.resize.upsample2_linear, in extended-region coordinates.
+
+    Row e of the (n_out, n_in) band (or column e when ``transposed``) holds
+    the two taps of full-res extended index e — frame index
+    tile_origin - _HALO + e with tile_origin even, so the taps land at
+    STATIC in-window positions (e+1)//2 - 5 + off and (e+1)//2 - 4 + off
+    (the (e-9)//2 / (e-7)//2 floor divisions rewritten tile-independent and
+    nonnegative), with parity-alternating weights (0.25, 0.75).  ``scale``
+    folds the x2 flow-magnitude factor in; 0.5/1.5 are exact in bf16.
+    """
+    d_out = 1 if transposed else 0
+    shape = (n_in, n_out) if transposed else (n_out, n_in)
+    e = jax.lax.broadcasted_iota(jnp.int32, shape, d_out)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1 - d_out)
+    half = jax.lax.div(e + 1, 2)
+    lo = half - 5 + off
+    hi = half - 4 + off
+    even = jax.lax.rem(e, 2) == 0
+    w_lo = jnp.where(even, 0.25 * scale, 0.75 * scale)
+    w_hi = jnp.where(even, 0.75 * scale, 0.25 * scale)
+    band = (jnp.where(j == lo, w_lo, 0.0)
+            + jnp.where(j == hi, w_hi, 0.0))
+    return band.astype(jnp.bfloat16)
+
+
+def _coarse_geometry(tile_h: int, tile_w: int) -> tuple[int, int, int, int]:
+    """(th2, tw2, ceth, cw_dma) for the in-kernel coarse-flow upsample.
+
+    The coarse window DMA for tile (ti, tj) starts at buffer row ti*th2 /
+    col tj*tw2 — provably aligned because th2 % 8 == 0 and tw2 % 128 == 0
+    (callers gate on tile_h % 16 == 0, tile_w % 256 == 0).  With a
+    (top 8, left 128) buffer margin the window covers every tap of the
+    extended region: rows [ti*th2 - 8, ti*th2 - 8 + ceth), taps reach
+    ti*th2 - 5 .. ti*th2 + th2 + 4.
+    """
+    th2, tw2 = tile_h // 2, tile_w // 2
+    ceth = th2 + 2 * _HALO
+    cw_dma = -(-(tw2 + 133) // 128) * 128
+    return th2, tw2, ceth, cw_dma
+
+
 def _fused_level_grads_kernel(
     next_hbm, prev_hbm, flowbuf_hbm,
     out_hbm, stats_hbm,
     win_scratch, prev_scratch, flow_scratch, out_tile, stats_tile, sems,
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
-    area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats,
+    area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats, coarse,
 ):
     """Self-contained fused IC iteration: Scharr gradients and the structure
     tensor are computed in-kernel from a single prev window, so a level call
@@ -483,6 +527,15 @@ def _fused_level_grads_kernel(
     no (3, H, W) static stack.  Grid/ping-pong semantics identical to
     ``_fused_level_kernel``; additionally writes (min_eig, valid) tiles to
     ``stats_hbm`` at iteration 0 so DenseFlowResult stays complete.
+
+    coarse (static, requires merge_stats): ``flowbuf_hbm`` holds the HALF
+    resolution flow planes of the coarser pyramid level (edge-padded with an
+    (8, 128) top/left margin) and the kernel upsamples each tile's window
+    in-VMEM with two banded MXU matmuls — the exact tap scheme of
+    ops.resize.upsample2_linear with the x2 flow scale folded into the band
+    weights.  This deletes the XLA inter-level glue (full-frame upsample,
+    plane split/join, full-res flow pad — ~0.25 ms/frame at 1080p, measured)
+    and shrinks the flow-window DMA 4x.
 
     merge_stats (static, n_iters == 1 only): no ping-pong is needed for a
     single iteration, so flow reads come from the (un-aliased) input ref and
@@ -530,7 +583,19 @@ def _fused_level_grads_kernel(
             prev_scratch.at[sl], sems.at[sl],
         )
 
+    if coarse:
+        th2, tw2, ceth, cw_dma = _coarse_geometry(tile_h, tile_w)
+
     def flow_copy(buf, kk, ti_, tj_, sl):
+        if coarse:
+            return pltpu.make_async_copy(
+                buf.at[
+                    :,
+                    pl.ds(pl.multiple_of(ti_ * th2, 8), ceth),
+                    pl.ds(pl.multiple_of(tj_ * tw2, 128), cw_dma),
+                ],
+                flow_scratch.at[sl], sems.at[2 + sl],
+            )
         src = jax.lax.rem(kk, 2) * 2
         return pltpu.make_async_copy(
             buf.at[
@@ -542,6 +607,9 @@ def _fused_level_grads_kernel(
         )
 
     def start_flow(kk, ti_, tj_, sl):
+        if coarse:    # merge_stats => a single iteration, k is always 0
+            flow_copy(flowbuf_hbm, kk, ti_, tj_, sl).start()
+            return
         # iteration 0 reads the (donated) input ref, later iterations the
         # output ref — same memory on hardware (input_output_aliases); in
         # interpret mode, which copies instead of aliasing, this makes the
@@ -594,17 +662,30 @@ def _fused_level_grads_kernel(
     # wait is by semaphore+size, so the src buffer choice is irrelevant here
     flow_copy(flowbuf_hbm, k, ti, tj, slot).wait()
 
-    c0 = 128 - _HALO
-    fx_w = flow_scratch[slot, 0, :, c0:c0 + etw]
-    fy_w = flow_scratch[slot, 1, :, c0:c0 + etw]
+    if coarse:
+        cfx = flow_scratch[slot, 0]
+        cfy = flow_scratch[slot, 1]
+        # tile-center reference displacement: the dominant (0.75-weight)
+        # coarse tap of the center sample, x2 — nearest-sample accuracy is
+        # plenty for a reference the residual range is centered on
+        rr = (eth // 2 + 1) // 2 - 4 + _HALO
+        rc = (etw // 2 + 1) // 2 - 4 + 128
+        ref_fx = 2.0 * cfx[rr, rc]
+        ref_fy = 2.0 * cfy[rr, rc]
+    else:
+        c0 = 128 - _HALO
+        fx_w = flow_scratch[slot, 0, :, c0:c0 + etw]
+        fy_w = flow_scratch[slot, 1, :, c0:c0 + etw]
+        ref_fx = fx_w[eth // 2, etw // 2]
+        ref_fy = fy_w[eth // 2, etw // 2]
 
     # issue the warp-window DMA immediately: it only needs the center flow
     y0 = ti * tile_h
     x0 = tj * tile_w
     wstate = _warp_start(
-        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+        next_hbm, ref_fx, ref_fy,
+        y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
         pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
-        ref_cy=eth // 2, ref_cx=etw // 2,
     )
 
     # --- prefetch the next step's windows while this one computes -----------
@@ -621,6 +702,25 @@ def _fused_level_grads_kernel(
     @pl.when(last_tile & (k < n_iters - 1))
     def _():
         prev_copy(0, 0, oslot).start()   # read-only: safe across the boundary
+
+    if coarse:
+        # upsample the coarse window to the (eth, etw) extended region —
+        # two banded bf16 MXU matmuls overlapping the prev/warp DMA waits
+        rband = _upsample2_band(eth, ceth, _HALO, 2.0)
+        cband = _upsample2_band(etw, cw_dma, 128, 1.0, transposed=True)
+
+        def up2(cw_):
+            t = jax.lax.dot_general(
+                cw_.astype(jnp.bfloat16), cband, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jax.lax.dot_general(
+                rband, t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        fx_w = up2(cfx)
+        fy_w = up2(cfy)
 
     prev_copy(ti, tj, slot).wait()
 
@@ -863,11 +963,13 @@ def make_fused_lk_level_grads_resident(
     max_disp: int = 32,
     local: int = LOCAL,
     win_k: int = 15,
+    planes_out: bool = False,
 ):
     """Single-tile build of the grads level: run(flow_init) ->
     (flow, min_eig, valid) with all level state VMEM-resident across the
     n_iters iterations (see _fused_level_grads_resident_kernel).  Requires
-    the (padded) level to fit one tile: H <= 272, W <= 512, H % 8 == 0."""
+    the (padded) level to fit one tile: H <= 272, W <= 512, H % 8 == 0.
+    planes_out: return flow as (2, H, W) planes (no moveaxis join)."""
     h, w = next_img.shape
     tile_h, tile_w = h, w
     assert h <= 272 and w <= 512 and h % 8 == 0, (h, w)
@@ -936,7 +1038,8 @@ def make_fused_lk_level_grads_resident(
         buf = jnp.stack([pad_flow(flow_init[..., 0]),
                          pad_flow(flow_init[..., 1])])
         out, stats = call(next_pad, prev_ext, buf)
-        flow = jnp.moveaxis(out[:, :, :w], 0, -1)
+        planes = out[:, :, :w]
+        flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
         return flow, stats[0, :, :w], stats[1, :, :w] > 0.5
 
     return run
@@ -952,6 +1055,8 @@ def make_fused_lk_level_grads(
     tile_w: int = TILE_W,
     local: int = LOCAL,
     win_k: int = 15,
+    coarse_flow: bool = False,
+    planes_out: bool = False,
 ):
     """Build run(flow_init) -> (flow, min_eig, valid): n_iters fused IC
     iterations with Scharr + structure tensor computed in-kernel.
@@ -961,12 +1066,23 @@ def make_fused_lk_level_grads(
     iteration (the precomputed-A kernel only amortizes at >=4).  HBM traffic
     per iteration: prev+warp+flow windows in, one flow tile out.
 
+    coarse_flow (requires n_iters == 1, tile_h % 16 == 0, tile_w % 256 == 0):
+    run takes the COARSER level's flow as (2, h//2, w//2) planes and the
+    kernel upsamples per tile in-VMEM (banded MXU matmuls, exact
+    upsample2_linear taps, x2 scale folded in) — no XLA upsample/split/pad.
+    planes_out: return flow as (2, h, w) planes (skips the moveaxis join,
+    letting pyramid levels hand flow to each other without relayouts).
+
     min_eig_threshold is in OpenCV units (scaled by 1024 like flow/dense.py).
     Requires a square window (win_k x win_k) and win_k <= 2*_HALO - 1.
     """
     h, w = next_img.shape
     assert h % tile_h == 0 and w % tile_w == 0, (h, w)
     assert tile_h % 8 == 0 and _HALO == 8 and win_k <= 2 * _HALO - 1
+    if coarse_flow:
+        assert n_iters == 1 and tile_h % 16 == 0 and tile_w % 256 == 0, (
+            n_iters, tile_h, tile_w)
+        th2_c, tw2_c, ceth_c, cw_dma_c = _coarse_geometry(tile_h, tile_w)
     eth = tile_h + 2 * _HALO
     etw = tile_w + 2 * _HALO
     etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
@@ -997,6 +1113,7 @@ def make_fused_lk_level_grads(
         bound_f=float(max_disp), area_f=float(win_k * win_k),
         eig_thr=float(min_eig_threshold) * 1024.0,
         n_iters=n_iters, n_ty=n_ty, n_tx=n_tx, merge_stats=merge_stats,
+        coarse=coarse_flow,
     )
     if merge_stats:
         # single iteration: no ping-pong; planes (fx, fy, min_eig, valid)
@@ -1031,7 +1148,8 @@ def make_fused_lk_level_grads(
         scratch_shapes=[
             pltpu.VMEM((sh, sw), jnp.float32),
             pltpu.VMEM((2, tile_h + 32, etw_dma_p), jnp.float32),
-            pltpu.VMEM((2, 2, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((2, 2, ceth_c, cw_dma_c) if coarse_flow
+                       else (2, 2, eth, etw_dma), jnp.float32),
             pltpu.VMEM((2, out_planes, tile_h, tw_pad), jnp.float32),
             pltpu.VMEM((2, stats_planes, tile_h, tw_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((9,)),
@@ -1049,18 +1167,30 @@ def make_fused_lk_level_grads(
                        mode="edge")
 
     def run(flow_init: jnp.ndarray):
+        if coarse_flow:
+            # flow_init: (2, h//2, w//2) coarse flow planes
+            assert flow_init.shape == (2, h // 2, w // 2), flow_init.shape
+            buf = jnp.pad(flow_init.astype(jnp.float32),
+                          ((0, 0), (8, 8), (128, 128)), mode="edge")
+            out, _ = call(next_pad, prev_ext, buf)
+            planes = out[0:2, gy:gy + h, 128:128 + w]
+            flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
+            min_eig = out[2, gy:gy + h, 128:128 + w]
+            valid = out[3, gy:gy + h, 128:128 + w] > 0.5
+            return flow, min_eig, valid
         fx = pad_flow(flow_init[..., 0])
         fy = pad_flow(flow_init[..., 1])
         if merge_stats:
             out, _ = call(next_pad, prev_ext, jnp.stack([fx, fy]))
-            flow = jnp.moveaxis(out[0:2, gy:gy + h, 128:128 + w], 0, -1)
+            planes = out[0:2, gy:gy + h, 128:128 + w]
+            flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
             min_eig = out[2, gy:gy + h, 128:128 + w]
             valid = out[3, gy:gy + h, 128:128 + w] > 0.5
             return flow, min_eig, valid
-        buf = jnp.stack([fx, fy, fx, fy])
-        out, stats = call(next_pad, prev_ext, buf)
+        out, stats = call(next_pad, prev_ext, jnp.stack([fx, fy, fx, fy]))
         s = 2 * (n_iters % 2)
-        flow = jnp.moveaxis(out[s:s + 2, gy:gy + h, 128:128 + w], 0, -1)
+        planes = out[s:s + 2, gy:gy + h, 128:128 + w]
+        flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
         min_eig = stats[0, :, 128:128 + w]
         valid = stats[1, :, 128:128 + w] > 0.5
         return flow, min_eig, valid

@@ -179,9 +179,9 @@ def _kernel(
     y0 = ti * tile_h
     x0 = tj * tile_w
     wstate = _warp_start(
-        next_hbm, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+        next_hbm, fx_w[eth // 2, etw // 2], fy_w[eth // 2, etw // 2],
+        y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
         pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
-        ref_cy=eth // 2, ref_cx=etw // 2,
     )
 
     at_row_end = tj == n_tx - 1
@@ -390,7 +390,11 @@ def main():
     base = dict(do_warp=True, do_asums=True, do_bsums=True, do_scharr=True)
     cases = [
         ("full", {}),
-        ("rolly", {"warp_mode": "rolly"}),
+        ("no_warp", {"do_warp": False}),
+        ("no_asums", {"do_asums": False}),
+        ("no_bsums", {"do_bsums": False}),
+        ("no_box", {"do_asums": False, "do_bsums": False}),
+        ("no_scharr", {"do_scharr": False}),
     ]
     # numeric check first: rolly must match base exactly on smooth flow
     if os.environ.get("EXP_CHECK", "1") == "1":

@@ -187,6 +187,40 @@ class TestPallasLocalWarp:
         err = np.hypot(flow[..., 0] - 3.0, flow[..., 1] + 2.0)
         assert err.mean() < 0.1, err.mean()
 
+    def test_fused_coarse_chain_matches_xla_upsample(self, rng):
+        """The in-kernel coarse-flow upsample chain == the per-level XLA
+        upsample path (same kernels), up to the bf16 rounding of the coarse
+        flow data and the halo-band border semantics."""
+        import cv2 as cv
+
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow.dense import dense_pyramidal_lk
+
+        h, w = 128, 1024     # w > 512 so level 0 is multi-tile (non-resident)
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        m = np.float32([[1.003, 0.001, 2.0], [-0.001, 0.998, -1.5]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        outs = {}
+        for chain in (False, True):
+            # fused_tile_h=64 forces a 2x2 grid: both coarse-window DMA
+            # offsets (ti, tj) exercised
+            d = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
+                              fused_tile_h=64, fused_coarse_chain=chain)
+            outs[chain] = np.asarray(dense_pyramidal_lk(
+                jnp.asarray(img), jnp.asarray(nxt), LKConfig(max_level=1),
+                dense_cfg=d).flow)
+        diff = np.abs(outs[True] - outs[False])
+        c = 16
+        assert diff[c:-c, c:-c].max() < 0.05, diff[c:-c, c:-c].max()
+        # and the chain still tracks the ground-truth affine motion
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        gx = (m[0, 0] - 1) * xs + m[0, 1] * ys + m[0, 2]
+        gy = m[1, 0] * xs + (m[1, 1] - 1) * ys + m[1, 2]
+        err = np.hypot(outs[True][..., 0] - gx, outs[True][..., 1] - gy)
+        assert err[c:-c, c:-c].mean() < 0.1, err[c:-c, c:-c].mean()
+
     def test_point_window_gather_matches_dynamic_slice(self, rng):
         """track_points_batched(pallas_windows=True) == the vmapped
         dynamic_slice path bit-for-bit (same contents, pipelined DMAs)."""
