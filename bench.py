@@ -26,13 +26,19 @@ import jax
 import jax.numpy as jnp
 
 from lk_tpu.config import DenseLKConfig, LKConfig
-from lk_tpu.flow.dense import dense_pyramidal_lk
+from lk_tpu.flow.dense import (build_frame_levels, dense_flow_from_levels,
+                               dense_pyramidal_lk)
 
 H, W = 1080, 1920
 # Measured on v5e: batch 1 is fastest per frame (batched 3-D stencils lower
 # poorly, and even row-folded batches scale sublinearly on this backend).
 BATCH = int(os.environ.get("LK_BENCH_BATCH", "1"))
 REPS = int(os.environ.get("LK_BENCH_REPS", "5"))
+# Video mode (default): a lax.scan carries each frame's pyramid to the next
+# step so every frame is padded/decimated ONCE — the production streaming
+# form (cv.buildOpticalFlowPyramid is OpenCV's same reuse affordance).
+# LK_BENCH_VIDEO=0 measures the standalone per-pair call instead.
+VIDEO = int(os.environ.get("LK_BENCH_VIDEO", "1")) == 1 and BATCH == 1
 BASELINE_FPS = 27.0  # reference full pipeline on CPU (BASELINE.md)
 
 
@@ -76,9 +82,17 @@ def epe_check(dcfg: "DenseLKConfig") -> float:
 
     rng = np.random.default_rng(1234)
     img, nxt = _scene(rng, H, W, 3.7, -2.2)
-    res = jax.jit(
-        lambda a, b: dense_pyramidal_lk(a, b, LKConfig(), dense_cfg=dcfg).flow
-    )(jnp.asarray(img), jnp.asarray(nxt))
+    if VIDEO:
+        # gate the exact per-step program the video chain executes
+        def flow_fn(a, b):
+            la = build_frame_levels(a, LKConfig(), dcfg)
+            lb = build_frame_levels(b, LKConfig(), dcfg)
+            return dense_flow_from_levels(
+                la, lb, LKConfig(), dcfg, (H, W)).flow
+    else:
+        def flow_fn(a, b):
+            return dense_pyramidal_lk(a, b, LKConfig(), dense_cfg=dcfg).flow
+    res = jax.jit(flow_fn)(jnp.asarray(img), jnp.asarray(nxt))
     flow = np.asarray(res)
     ys, xs = np.mgrid[40:H - 40:16, 40:W - 40:16]
     pts = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
@@ -131,6 +145,25 @@ def throughput(dcfg: "DenseLKConfig") -> float:
     c1 = int(os.environ.get("LK_BENCH_CHAIN1", "40"))
 
     def chained(n):
+        if VIDEO:
+            @jax.jit
+            def run(a, b):
+                levels0 = build_frame_levels(a, LKConfig(), dcfg)
+
+                def step(carry, _):
+                    levels, acc, f = carry
+                    nf = f * (1.0 - 1e-6) + acc * 1e-9  # fresh frame/step
+                    nl = build_frame_levels(nf, LKConfig(), dcfg)
+                    r = dense_flow_from_levels(
+                        levels, nl, LKConfig(), dcfg, (H, W))
+                    acc = acc * (1 - 1e-9) + jnp.sum(r.flow) * 1e-9
+                    return (nl, acc, nf), None
+
+                (_, acc, _), _ = jax.lax.scan(
+                    step, (levels0, 0.0, a), None, length=n)
+                return acc
+            return run
+
         @jax.jit
         def run(a, b):
             def body(i, acc):

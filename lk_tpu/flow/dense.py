@@ -383,32 +383,11 @@ def dense_pyramidal_lk(
     h_true, w_true = prev.shape[-2:]
     prev = prev.astype(jnp.float32)
     next_ = next_.astype(jnp.float32)
-    if dense_cfg.pallas_pyramid and cfg.max_level > 0:
-        # Pre-pad the base ONCE to the level-0 Pallas kernel geometry
-        # (1080x1920 -> 1088x2048 in production) with the same edge mode
-        # the levels pad with.  Two effects: (a) the pair kernel's
-        # h % 16 == 0 DMA-alignment requirement holds, and (b) the halved
-        # geometry at every level is exactly what pallas_level_geometry
-        # would pad to (1088x2048 -> 544x1024 -> 272x512), so the
-        # per-level frame AND flow pads — full-array copies, ~35 MB of
-        # HBM traffic at 1080p level 0 — become no-ops.
-        n0 = dense_cfg.level_iters(0)
-        fuse0 = dense_cfg.use_pallas_fused or (
-            dense_cfg.use_pallas_warp
-            and (dense_cfg.fused_grads_in_kernel
-                 or n0 >= dense_cfg.fused_from_iters))
-        if fuse0 or dense_cfg.use_pallas_warp:
-            l0_cfg = dataclasses.replace(
-                dense_cfg, outer_iters=n0, use_pallas_fused=fuse0,
-                warp_local=dense_cfg.level_local(0))
-            _, _, _, hp, wp = pallas_level_geometry(h_true, w_true, l0_cfg)
-        else:
-            hp, wp = h_true, w_true
-        hp = -(-hp // 16) * 16   # pair-kernel DMA alignment floor
-        if (hp, wp) != (h_true, w_true):
-            pad = ((0, hp - h_true), (0, wp - w_true))
-            prev = jnp.pad(prev, pad, mode="edge")
-            next_ = jnp.pad(next_, pad, mode="edge")
+    hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
+    if (hp, wp) != (h_true, w_true):
+        pad = ((0, hp - h_true), (0, wp - w_true))
+        prev = jnp.pad(prev, pad, mode="edge")
+        next_ = jnp.pad(next_, pad, mode="edge")
     prev_levels = [prev]
     next_levels = [next_]
     for _ in range(cfg.max_level):
@@ -424,7 +403,109 @@ def dense_pyramidal_lk(
                 continue
         prev_levels.append(pyr_down(prev_levels[-1], fast=fast))
         next_levels.append(pyr_down(next_levels[-1], fast=fast))
+    return dense_flow_from_levels(
+        prev_levels, next_levels, cfg, dense_cfg, (h_true, w_true),
+        init_flow=init_flow,
+    )
 
+
+def pyramid_base_geometry(
+    h_true: int, w_true: int, cfg: LKConfig, dense_cfg: DenseLKConfig
+) -> tuple[int, int]:
+    """Padded pyramid-base geometry under ``pallas_pyramid``.
+
+    Pre-padding the base ONCE to the level-0 Pallas kernel geometry
+    (1080x1920 -> 1088x2048 in production) with the same edge mode the
+    levels pad with has two effects: (a) the pair kernel's h % 16 == 0
+    DMA-alignment requirement holds, and (b) the halved geometry at every
+    level is exactly what pallas_level_geometry would pad to
+    (1088x2048 -> 544x1024 -> 272x512), so the per-level frame AND flow
+    pads — full-array copies, ~35 MB of HBM traffic at 1080p level 0 —
+    become no-ops.
+    """
+    if not (dense_cfg.pallas_pyramid and cfg.max_level > 0):
+        return h_true, w_true
+    n0 = dense_cfg.level_iters(0)
+    fuse0 = dense_cfg.use_pallas_fused or (
+        dense_cfg.use_pallas_warp
+        and (dense_cfg.fused_grads_in_kernel
+             or n0 >= dense_cfg.fused_from_iters))
+    if fuse0 or dense_cfg.use_pallas_warp:
+        l0_cfg = dataclasses.replace(
+            dense_cfg, outer_iters=n0, use_pallas_fused=fuse0,
+            warp_local=dense_cfg.level_local(0))
+        _, _, _, hp, wp = pallas_level_geometry(h_true, w_true, l0_cfg)
+    else:
+        hp, wp = h_true, w_true
+    hp = -(-hp // 16) * 16   # pair-kernel DMA alignment floor
+    return hp, wp
+
+
+def build_frame_levels(
+    frame: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    dense_cfg: DenseLKConfig = DenseLKConfig(),
+) -> tuple:
+    """Padded pyramid levels of ONE frame (the video-mode scan carry).
+
+    Identical base pre-pad and level geometry to dense_pyramidal_lk's pair
+    path, but decimates a single frame per level with the XLA fast
+    pyr_down (the Pallas kernel is dual-plane — built for decimating a
+    PAIR at once; with one new frame per video step there is no pair).
+    """
+    h_true, w_true = frame.shape[-2:]
+    f = frame.astype(jnp.float32)
+    hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
+    if (hp, wp) != (h_true, w_true):
+        f = jnp.pad(f, ((0, hp - h_true), (0, wp - w_true)), mode="edge")
+    levels = [f]
+    for _ in range(cfg.max_level):
+        levels.append(pyr_down(levels[-1], fast=dense_cfg.fast_pyramid))
+    return tuple(levels)
+
+
+def dense_pyramidal_lk_video(
+    frames: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    dense_cfg: DenseLKConfig = DenseLKConfig(),
+) -> DenseFlowResult:
+    """Dense pyramidal LK over a video: (T, H, W) -> flows (T-1, H, W, 2).
+
+    The production streaming form: a ``lax.scan`` carries each frame's
+    pyramid to the next step, so every frame is padded and decimated ONCE —
+    the per-pair API rebuilds both pyramids per call, recomputing each
+    interior frame's pyramid twice.  Per-pair numerics are preserved
+    (zero flow init per pair; only the redundant recomputation is gone).
+    """
+    assert frames.ndim == 3, frames.shape
+    h_true, w_true = frames.shape[-2:]
+    levels0 = build_frame_levels(frames[0], cfg, dense_cfg)
+
+    def step(carry, frame):
+        nxt = build_frame_levels(frame, cfg, dense_cfg)
+        res = dense_flow_from_levels(
+            carry, nxt, cfg, dense_cfg, (h_true, w_true))
+        return nxt, res
+
+    _, out = jax.lax.scan(step, levels0, frames[1:].astype(jnp.float32))
+    return out
+
+
+def dense_flow_from_levels(
+    prev_levels,
+    next_levels,
+    cfg: LKConfig,
+    dense_cfg: DenseLKConfig,
+    true_hw: tuple[int, int],
+    init_flow: Optional[jnp.ndarray] = None,
+) -> DenseFlowResult:
+    """Coarse-to-fine refinement over prebuilt pyramid levels.
+
+    prev_levels/next_levels: per-level (h, w) frames, level 0 first (as
+    built by dense_pyramidal_lk's pair path or build_frame_levels);
+    true_hw crops the base pad off the outputs.
+    """
+    h_true, w_true = true_hw
     top = cfg.max_level
     h_top, w_top = prev_levels[top].shape[-2:]
     if init_flow is None:

@@ -84,6 +84,25 @@ class TestDenseLK:
         assert ok.sum() > len(pts) * 0.8
         assert epe.mean() < 0.1, epe.mean()
 
+    def test_video_mode_matches_per_pair(self, rng):
+        """dense_pyramidal_lk_video (scanned pyramid carry) == the per-pair
+        calls: only redundant pyramid recomputation is eliminated."""
+        from lk_tpu.flow.dense import dense_pyramidal_lk_video
+
+        frames = [_natural_image(rng, 96, 160)]
+        for t in range(3):
+            frames.append(_shift_image(frames[-1], 1.2, -0.8))
+        fr = np.stack(frames)
+        cfg = LKConfig(max_level=2)
+        vid = dense_pyramidal_lk_video(jnp.asarray(fr), cfg)
+        assert vid.flow.shape == (3, 96, 160, 2)
+        for t in range(3):
+            pair = dense_pyramidal_lk(
+                jnp.asarray(fr[t]), jnp.asarray(fr[t + 1]), cfg)
+            d = np.abs(np.asarray(vid.flow[t]) - np.asarray(pair.flow))
+            assert d.max() < 1e-4, (t, d.max())
+            assert bool(jnp.all(vid.valid[t] == pair.valid)), t
+
     def test_batched_vmap(self, rng):
         imgs = np.stack([_natural_image(rng, 96, 128) for _ in range(3)])
         nxts = np.stack([_shift_image(im, 1.5, -1.0) for im in imgs])
