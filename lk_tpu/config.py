@@ -89,6 +89,19 @@ class DenseLKConfig:
     # single-iteration pad-free levels with aligned tiles; off = the
     # per-level XLA upsample path everywhere (A/B and debugging).
     fused_coarse_chain: bool = True
+    # Video-mode temporal warm start (OPT-IN): seed each step's TOP pyramid
+    # level with the previous step's converged top-level flow (the prior
+    # OpenCV exposes as OPTFLOW_USE_INITIAL_FLOW) and run warm_top_iters
+    # there instead of the cold schedule's top count; the first pair runs
+    # the full cold schedule.  Measured on v5e @1080p: EPE identical to
+    # cold on smooth accelerating motion even at warm_top_iters=1 (+7% fps)
+    # — but a hard motion discontinuity (±10 px/frame direction flip)
+    # PERMANENTLY corrupts the track (EPE locks at ~22 px: the stale seed
+    # centers the warp's residual clamp range, and the bad output re-seeds
+    # every following step).  Default off; enable only for streams with
+    # guaranteed-smooth motion.  Only affects dense_pyramidal_lk_video.
+    video_warm_start: bool = False
+    warm_top_iters: int = 2
     # bf16 data for the bandwidth-bound stages of the XLA level path: the
     # five 15x15 box sums (structure tensor + right-hand side) and the warp
     # window DMA.  Accumulation error ~1e-2 relative; gate with bench's EPE.

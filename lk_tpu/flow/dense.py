@@ -474,21 +474,52 @@ def dense_pyramidal_lk_video(
     The production streaming form: a ``lax.scan`` carries each frame's
     pyramid to the next step, so every frame is padded and decimated ONCE —
     the per-pair API rebuilds both pyramids per call, recomputing each
-    interior frame's pyramid twice.  Per-pair numerics are preserved
-    (zero flow init per pair; only the redundant recomputation is gone).
+    interior frame's pyramid twice.  With ``video_warm_start`` (default)
+    the scan additionally carries the converged TOP-level flow as the next
+    step's top-level seed and runs ``warm_top_iters`` there instead of the
+    cold schedule's top count (OpenCV's OPTFLOW_USE_INITIAL_FLOW prior);
+    the first pair runs the full cold schedule.  Without warm start,
+    per-pair numerics are preserved exactly (zero flow init per pair; only
+    the redundant pyramid recomputation is gone).
     """
     assert frames.ndim == 3, frames.shape
     h_true, w_true = frames.shape[-2:]
+    t_total = frames.shape[0]
     levels0 = build_frame_levels(frames[0], cfg, dense_cfg)
 
-    def step(carry, frame):
-        nxt = build_frame_levels(frame, cfg, dense_cfg)
-        res = dense_flow_from_levels(
-            carry, nxt, cfg, dense_cfg, (h_true, w_true))
-        return nxt, res
+    if not dense_cfg.video_warm_start or t_total <= 2:
+        def step(carry, frame):
+            nxt = build_frame_levels(frame, cfg, dense_cfg)
+            res = dense_flow_from_levels(
+                carry, nxt, cfg, dense_cfg, (h_true, w_true))
+            return nxt, res
 
-    _, out = jax.lax.scan(step, levels0, frames[1:].astype(jnp.float32))
-    return out
+        _, out = jax.lax.scan(step, levels0, frames[1:].astype(jnp.float32))
+        return out
+
+    top = cfg.max_level
+    warm_sched = tuple(dense_cfg.level_iters(lv) for lv in range(top)) + (
+        dense_cfg.warm_top_iters,)
+    warm_cfg = dataclasses.replace(dense_cfg, iter_schedule=warm_sched)
+
+    # first pair: cold full schedule, seeding the warm chain
+    levels1 = build_frame_levels(frames[1], cfg, dense_cfg)
+    res0, top0 = dense_flow_from_levels(
+        levels0, levels1, cfg, dense_cfg, (h_true, w_true),
+        return_top_flow=True)
+
+    def step(carry, frame):
+        levels, seed = carry
+        nxt = build_frame_levels(frame, cfg, warm_cfg)
+        res, topf = dense_flow_from_levels(
+            levels, nxt, cfg, warm_cfg, (h_true, w_true),
+            init_flow=seed, return_top_flow=True)
+        return (nxt, topf), res
+
+    _, out = jax.lax.scan(
+        step, (levels1, top0), frames[2:].astype(jnp.float32))
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0), res0, out)
 
 
 def dense_flow_from_levels(
@@ -498,12 +529,15 @@ def dense_flow_from_levels(
     dense_cfg: DenseLKConfig,
     true_hw: tuple[int, int],
     init_flow: Optional[jnp.ndarray] = None,
+    return_top_flow: bool = False,
 ) -> DenseFlowResult:
     """Coarse-to-fine refinement over prebuilt pyramid levels.
 
     prev_levels/next_levels: per-level (h, w) frames, level 0 first (as
     built by dense_pyramidal_lk's pair path or build_frame_levels);
-    true_hw crops the base pad off the outputs.
+    true_hw crops the base pad off the outputs.  init_flow seeds the TOP
+    level (the video warm start); return_top_flow additionally returns the
+    converged top-level flow as (h_top, w_top, 2) for the next step's seed.
     """
     h_true, w_true = true_hw
     top = cfg.max_level
@@ -560,6 +594,7 @@ def dense_flow_from_levels(
                             and th % 16 == 0 and tw % 256 == 0)
 
     result = None
+    top_flow = None
     planes = False     # whether `flow` carries (2, h, w) plane layout
     for level in range(top, -1, -1):
         use_coarse = level != top and coarse_ok[level] and planes
@@ -578,10 +613,14 @@ def dense_flow_from_levels(
         )
         flow = result.flow
         planes = want_planes
+        if level == top and return_top_flow:
+            top_flow = jnp.moveaxis(flow, 0, -1) if planes else flow
     if result.flow.shape[:2] != (h_true, w_true):  # crop the base pad
         result = DenseFlowResult(
             flow=result.flow[:h_true, :w_true],
             min_eig=result.min_eig[:h_true, :w_true],
             valid=result.valid[:h_true, :w_true],
         )
+    if return_top_flow:
+        return result, top_flow
     return result

@@ -103,6 +103,33 @@ class TestDenseLK:
             assert d.max() < 1e-4, (t, d.max())
             assert bool(jnp.all(vid.valid[t] == pair.valid)), t
 
+    def test_video_warm_start_smooth_motion(self, rng):
+        """Opt-in temporal warm start tracks smooth constant motion as well
+        as the cold schedule (the discontinuity failure mode is documented
+        in DenseLKConfig and is why the default is off)."""
+        import dataclasses
+
+        from lk_tpu.config import DenseLKConfig
+        from lk_tpu.flow.dense import dense_pyramidal_lk_video
+
+        frames = [_natural_image(rng, 96, 160)]
+        for t in range(4):
+            frames.append(_shift_image(frames[-1], 1.2, -0.8))
+        fr = jnp.asarray(np.stack(frames))
+        cfg = LKConfig(max_level=2)
+        base = DenseLKConfig()
+        cold = dense_pyramidal_lk_video(fr, cfg, base)
+        warm = dense_pyramidal_lk_video(
+            fr, cfg,
+            dataclasses.replace(base, video_warm_start=True,
+                                warm_top_iters=1))
+        for t in range(4):
+            f = np.asarray(warm.flow[t])[16:-16, 16:-16]
+            err = np.hypot(f[..., 0] - 1.2, f[..., 1] + 0.8).mean()
+            cf = np.asarray(cold.flow[t])[16:-16, 16:-16]
+            cerr = np.hypot(cf[..., 0] - 1.2, cf[..., 1] + 0.8).mean()
+            assert err < max(0.1, cerr * 1.5), (t, err, cerr)
+
     def test_batched_vmap(self, rng):
         imgs = np.stack([_natural_image(rng, 96, 128) for _ in range(3)])
         nxts = np.stack([_shift_image(im, 1.5, -1.0) for im in imgs])
