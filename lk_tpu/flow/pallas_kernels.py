@@ -1300,6 +1300,8 @@ _GK = 16         # points per grid step (all 2*_GK DMAs in flight)
 _PW_ROWS = 40    # prev rows: 8..15 row offset + (win+1)<=25 + scharr +-1
 _SW_ROWS2 = 40   # aligned superwindow rows (32 + 8 align slack)
 _GW = 256        # DMA width: 128-aligned cols + <=175 used
+_PW_OUT = 24     # emitted prev rows: corner-1 at row 0 (win+1 <= 22)
+_SW_OUT = 32     # emitted superwindow rows: corner at row 0
 
 
 def make_point_window_gather(
@@ -1313,71 +1315,118 @@ def make_point_window_gather(
     serialized fetches — 3,840 of them per 32-stream frame dominated the
     whole tracker (measured 8.8 ms fixed cost, iteration-count independent).
     Here a grid step fetches windows for 16 points with all 32 DMAs in
-    flight at once, undoes the 128-lane alignment with a dynamic roll, and
-    computes the Scharr gradients per window in VMEM — so the caller needs
-    neither a full-frame scharr pass nor the (3, FH, FW) stack (those two
-    full-frame passes over 32 folded frames cost ~1 ms/level at B=32).
+    flight (plus the NEXT step's prefetched by slot parity), undoes BOTH
+    alignment remainders in-kernel (dynamic lane roll; static-bit sublane
+    rolls for rows), and computes the Scharr gradients per window in VMEM —
+    so the caller needs neither a full-frame scharr pass nor any
+    remainder-tap unfolding (the 8 masked row taps per array had cost
+    ~0.65 ms/level at 1280 points).
 
-    starts: (6, NP) int32 — [prev_row_al, prev_col_al, sw_row_al,
-    sw_col_al, prev_roll, sw_roll]; *_al rows 8-aligned / cols 128-aligned
-    and in-bounds for a (40, 256) slice (caller pads the images);
-    prev_roll positions source column (corner-1) at lane 0.  NP % 16 == 0.
+    starts: (8, NP) int32 — [prev_row_al, prev_col_al, sw_row_al,
+    sw_col_al, prev_col_rem, sw_col_rem, prev_row_rem, sw_row_rem];
+    *_al rows 8-aligned / cols 128-aligned and in-bounds for a (40, 256)
+    slice (caller pads the images); prev_col_rem is the lane of source
+    column corner-1 (so corner-1-aligned fetches), prev_row_rem the row
+    of the corner (8..15), sw_row_rem the superwindow-top row (0..7).
+    NP % 16 == 0.
 
-    Returns prev_wins (NP, 3, 40, 128): plane 0 prev intensities, planes
-    1/2 Scharr ix/iy (rows 1..38 valid; row r = aligned row r, col c =
-    requested corner col + c), and sw_wins (NP, 40, 128) likewise
-    (col 0 = requested superwindow corner col).
+    Returns prev_wins (NP, 3, _PW_OUT, 128): plane 0 prev intensities,
+    planes 1/2 Scharr ix/iy, with the CORNER at row 1 / col 0 on every
+    plane (row 0 = corner-1); and sw_wins (NP, _SW_OUT, 128) with the
+    superwindow corner at row 0 / col 0.
     """
     fh, fw = next_f.shape
     assert prev_f.shape == (fh, fw), (prev_f.shape, next_f.shape)
     assert fh % 8 == 0 and fw % 128 == 0, (fh, fw)
+    gk = _GK
 
     def kernel(starts, pv_hbm, nx_hbm, outp, outs, scr_p, scr_s, sems):
         i = pl.program_id(0)
-        dmas = []
-        for k in range(_GK):
-            idx = i * _GK + k
+        n_steps = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        oslot = 1 - slot
+
+        # descriptor builders: the wait consumes semaphore+size only, so
+        # reconstructing with any in-bounds offsets of the same shape works
+        def prev_copy(idx, sl, k):
             pr = pl.multiple_of(starts[0, idx], 8)
             pc = pl.multiple_of(starts[1, idx], 128)
-            d1 = pltpu.make_async_copy(
+            return pltpu.make_async_copy(
                 pv_hbm.at[pl.ds(pr, _PW_ROWS), pl.ds(pc, _GW)],
-                scr_p.at[k], sems.at[k],
+                scr_p.at[sl, k], sems.at[sl, k],
             )
-            d1.start()
+
+        def sw_copy(idx, sl, k):
             sr = pl.multiple_of(starts[2, idx], 8)
             sc = pl.multiple_of(starts[3, idx], 128)
-            d2 = pltpu.make_async_copy(
+            return pltpu.make_async_copy(
                 nx_hbm.at[pl.ds(sr, _SW_ROWS2), pl.ds(sc, _GW)],
-                scr_s.at[k], sems.at[_GK + k],
+                scr_s.at[sl, k], sems.at[sl, gk + k],
             )
-            d2.start()
-            dmas.append((d1, d2))
-        z1 = jnp.zeros((1, 128), jnp.float32)
-        for k in range(_GK):
-            idx = i * _GK + k
-            d1, d2 = dmas[k]
-            d1.wait()
-            # p col 0 == source (corner col - 1); out col c == corner + c
-            p = pltpu.roll(scr_p[k], shift=-starts[4, idx], axis=1)
-            outp[k, 0] = p[:, 1:129]
+
+        def issue(step, sl):
+            for k in range(gk):
+                idx = step * gk + k
+                prev_copy(idx, sl, k).start()
+                sw_copy(idx, sl, k).start()
+
+        @pl.when(i == 0)
+        def _():
+            issue(i, slot)
+
+        # prefetch the NEXT grid step's 2*gk windows during this step's
+        # compute — the per-step cost had been issue + wait latency in
+        # series with the rolls/Scharr (measured ~1.7 us/point)
+        @pl.when(i < n_steps - 1)
+        def _():
+            issue(i + 1, oslot)
+
+        def unroll_rows(a, e):
+            # undo the 8-alignment row remainder with static-bit sublane
+            # rolls (exact at any geometry; the dynamic axis-0 roll is
+            # miscompiled for non-power-of-two sublane-group counts)
+            for bit in (1, 2, 4):
+                r = pltpu.roll(a, shift=a.shape[0] - bit, axis=0)
+                a = jnp.where((e & bit) != 0, r, a)
+            return a
+
+        for k in range(gk):
+            idx = i * gk + k
+            prev_copy(idx, slot, k).wait()
+            # lane roll by (remainder+1): corner lands at col 0; the
+            # wraparound puts source col corner-1 at col 255, which is
+            # exactly the left neighbor the horizontal Scharr tap needs
+            p = pltpu.roll(scr_p[slot, k], shift=-(starts[4, idx] + 1),
+                           axis=1)
+            # row roll: corner lands at row 8 (fetch row = corner row -
+            # remainder, remainder in 8..15)
+            p = unroll_rows(p, starts[4 + 2, idx] - 8)
             # Scharr exactly as ops/gradients.py: smooth [3,10,3]/16 along
             # one axis, diff [-0.5, 0, 0.5] along the other, same tap order
             sm = (p[:-2] * (3.0 / 16.0) + p[1:-1] * (10.0 / 16.0)
-                  + p[2:] * (3.0 / 16.0))
-            ix = sm[:, :-2] * -0.5 + sm[:, 2:] * 0.5       # (38, 254)
-            smx = (p[:, :-2] * (3.0 / 16.0) + p[:, 1:-1] * (10.0 / 16.0)
-                   + p[:, 2:] * (3.0 / 16.0))
-            iy = smx[:-2] * -0.5 + smx[2:] * 0.5           # (38, 254)
-            outp[k, 1] = jnp.concatenate([z1, ix[:, :128], z1], axis=0)
-            outp[k, 2] = jnp.concatenate([z1, iy[:, :128], z1], axis=0)
-            d2.wait()
-            sw = pltpu.roll(scr_s[k], shift=-starts[5, idx], axis=1)
-            outs[k] = sw[:, :128]
+                  + p[2:] * (3.0 / 16.0))                  # row r -> p r+1
+            # right neighbor == circular roll by width-1 (static shifts
+            # must be non-negative); col 255 wraps to source corner-1,
+            # exactly the left neighbor the stencil needs at col 0
+            ix = (pltpu.roll(sm, shift=_GW - 1, axis=1)
+                  - pltpu.roll(sm, shift=1, axis=1)) * 0.5
+            smx = (pltpu.roll(p, shift=1, axis=1) * (3.0 / 16.0)
+                   + p * (10.0 / 16.0)
+                   + pltpu.roll(p, shift=_GW - 1, axis=1) * (3.0 / 16.0))
+            iy = (smx[2:] - smx[:-2]) * 0.5                # row r -> p r+1
+            # out row q == p row q+7 (corner-1 at out row 0, corner at 1)
+            outp[k, 0] = p[7:7 + _PW_OUT, :128]
+            outp[k, 1] = ix[6:6 + _PW_OUT, :128]
+            outp[k, 2] = iy[6:6 + _PW_OUT, :128]
+            sw_copy(idx, slot, k).wait()
+            sw = pltpu.roll(scr_s[slot, k], shift=-starts[5, idx], axis=1)
+            sw = unroll_rows(sw, starts[5 + 2, idx])
+            outs[k] = sw[:_SW_OUT, :128]
 
     def gather(starts: jnp.ndarray):
         np_ = starts.shape[1]
-        assert np_ % _GK == 0, np_
-        grid = (np_ // _GK,)
+        assert np_ % gk == 0, np_
+        grid = (np_ // gk,)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1388,20 +1437,20 @@ def make_point_window_gather(
                     pl.BlockSpec(memory_space=pltpu.HBM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((_GK, 3, _PW_ROWS, 128),
+                    pl.BlockSpec((gk, 3, _PW_OUT, 128),
                                  lambda i, *_: (i, 0, 0, 0)),
-                    pl.BlockSpec((_GK, _SW_ROWS2, 128),
+                    pl.BlockSpec((gk, _SW_OUT, 128),
                                  lambda i, *_: (i, 0, 0)),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((_GK, _PW_ROWS, _GW), jnp.float32),
-                    pltpu.VMEM((_GK, _SW_ROWS2, _GW), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2 * _GK,)),
+                    pltpu.VMEM((2, gk, _PW_ROWS, _GW), jnp.float32),
+                    pltpu.VMEM((2, gk, _SW_ROWS2, _GW), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, 2 * gk)),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((np_, 3, _PW_ROWS, 128), jnp.float32),
-                jax.ShapeDtypeStruct((np_, _SW_ROWS2, 128), jnp.float32),
+                jax.ShapeDtypeStruct((np_, 3, _PW_OUT, 128), jnp.float32),
+                jax.ShapeDtypeStruct((np_, _SW_OUT, 128), jnp.float32),
             ],
         )(starts, prev_f, next_f)
 

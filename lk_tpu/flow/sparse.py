@@ -283,13 +283,15 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     contents as the vmapped dynamic_slice path over a full-frame Scharr
     stack, but the DMAs pipeline instead of serializing and the two
     full-frame gradient/stack passes disappear (measured 8.8 ms -> sub-ms
-    fixed cost at 640 points)."""
+    fixed cost at 640 points).  Both alignment remainders are undone
+    in-kernel, so the windows come back corner-aligned and slicing here is
+    static (the 8 masked row taps per array this replaces cost
+    ~0.65 ms/level at 1280 points)."""
     from lk_tpu.flow.pallas_kernels import make_point_window_gather
 
-    # layout ceilings of the gather kernel's (40, 256) windows: the prev
-    # window needs rows 8..15(+win_h+1) and a Scharr row above/below
-    # (win_h <= 23), and win+1 / sw_w columns within the 128 kept lanes
-    assert win_h <= 23 and win_w <= 126, (win_h, win_w)
+    # layout ceilings of the gather kernel's (40, 256) fetches and its
+    # (24/32, 128) corner-aligned outputs
+    assert win_h <= 22 and win_w <= 126, (win_h, win_w)
     assert sw_w <= 128 and sw_h <= 32, (sw_h, sw_w)
     nn = cy.shape[0]
     fh, fw = next_f.shape
@@ -318,25 +320,38 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     starts = jnp.stack([
         p16(pr_al), p16(pc_al), p16(sr_al), p16(sc_al),
         p16(cx_p - 1 - pc_al), p16(sx_p - sc_al),
+        p16(cy_p - pr_al), p16(sy_p - sr_al),
     ]).astype(jnp.int32)
     pw, sww = make_point_window_gather(pvp, nxp)(starts)
-    pw = pw[:nn]
-    sww = sww[:nn]
-    # fold the row-alignment remainder back out with 8 masked taps
-    # (window top sits at kernel row 8..15; superwindow top at 0..7)
-    epy = cy_p - pr_al
-    esy = sy_p - sr_al
-    raw = sum(
-        (epy == e + 8).astype(jnp.float32)[:, None, None, None]
-        * pw[:, :, e + 8:e + 8 + win_h + 1, :win_w + 1]
-        for e in range(8)
-    )
-    sw = sum(
-        (esy == e).astype(jnp.float32)[:, None, None]
-        * sww[:, e:e + sw_h, :sw_w]
-        for e in range(8)
-    )
+    # corner at row 1 / col 0 of every pw plane; sw corner at row 0 / col 0
+    raw = pw[:nn, :, 1:1 + win_h + 1, :win_w + 1]
+    sw = sww[:nn, :sw_h, :sw_w]
     return raw, sw
+
+
+def fold_tracking_levels(imgs: jnp.ndarray, cfg: LKConfig = LKConfig()):
+    """Pyramid + fold prep of a (B, H, W) frame batch for the batched
+    tracker: per level, the B frames are reflect-padded (window pad + one
+    guard row per frame seam) and folded along rows into one tall 2-D
+    array.  Exposed so a video pipeline can CARRY the prepped form across
+    steps — each frame batch is decimated and folded once, not twice (as
+    next, then again as prev on the following frame; the two preps cost
+    ~1.6 ms of the 11.6 ms tracker call at B=64, 860x482)."""
+    b = imgs.shape[0]
+    pad = max(cfg.win_size) + 2
+    levels = [imgs.astype(jnp.float32)]
+    for _ in range(cfg.max_level):
+        levels.append(pyr_down(levels[-1]))
+
+    def fold(x3):
+        # one extra guard row above/below each frame: the 3x3 Scharr on the
+        # folded image corrupts exactly one row at each frame seam, and the
+        # guard keeps that row outside every window's reachable range
+        xp = jnp.pad(x3, ((0, 0), (pad + 1, pad + 1), (pad, pad)),
+                     mode="reflect")
+        return xp.reshape(b * xp.shape[1], xp.shape[2])
+
+    return tuple(fold(lv) for lv in levels)
 
 
 def track_points_batched(
@@ -368,7 +383,24 @@ def track_points_batched(
     resamples the true image); unreachable in the tracked-motion regime
     (parity-tested against track_points).
     """
-    b, h0, w0 = prev_imgs.shape
+    prev_folded = fold_tracking_levels(prev_imgs, cfg)
+    p1, st, err, _ = track_points_batched_prepped(
+        prev_folded, next_imgs, pts, valid, cfg)
+    return p1, st, err
+
+
+def track_points_batched_prepped(
+    prev_folded,
+    next_imgs: jnp.ndarray,
+    pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+):
+    """track_points_batched with the PREV frames' prep carried in: takes
+    ``fold_tracking_levels`` output for the prev batch, folds only the next
+    batch, and additionally returns next's folded levels so a video loop
+    can pass them as the following step's ``prev_folded``."""
+    b, h0, w0 = next_imgs.shape
     n = pts.shape[1]
     nn = b * n
     win_w, win_h = cfg.win_size
@@ -377,19 +409,10 @@ def track_points_batched(
     half_x = (win_w - 1) * 0.5
     half_y = (win_h - 1) * 0.5
 
-    prev_lv = [prev_imgs.astype(jnp.float32)]
-    next_lv = [next_imgs.astype(jnp.float32)]
-    for _ in range(cfg.max_level):
-        prev_lv.append(pyr_down(prev_lv[-1]))
-        next_lv.append(pyr_down(next_lv[-1]))
-
-    def fold(x3):
-        # one extra guard row above/below each frame: the 3x3 Scharr on the
-        # folded image corrupts exactly one row at each frame seam, and the
-        # guard keeps that row outside every window's reachable range
-        xp = jnp.pad(x3, ((0, 0), (pad + 1, pad + 1), (pad, pad)),
-                     mode="reflect")
-        return xp.reshape(b * xp.shape[1], xp.shape[2])
+    next_folded = fold_tracking_levels(next_imgs, cfg)
+    assert len(prev_folded) == cfg.max_level + 1
+    assert prev_folded[0].shape == next_folded[0].shape, (
+        prev_folded[0].shape, next_folded[0].shape)
 
     frame_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
     flat_pts = pts.reshape(nn, 2).astype(jnp.float32)
@@ -400,8 +423,8 @@ def track_points_batched(
     err = jnp.zeros((nn,), jnp.float32)
 
     for level in range(cfg.max_level, -1, -1):
-        prev_f = fold(prev_lv[level])
-        next_f = fold(next_lv[level])
+        prev_f = prev_folded[level]
+        next_f = next_folded[level]
         if not cfg.pallas_windows:
             # Scharr on the folded-and-padded image, like the single-image
             # path computes it on the padded level (reflect-pad of the
@@ -410,7 +433,10 @@ def track_points_batched(
             ix_f, iy_f = scharr_derivatives(prev_f)
             stack3 = jnp.stack([prev_f, ix_f, iy_f])
 
-        h, w = prev_lv[level].shape[-2:]
+        # per-frame level dims from the folded geometry (see fold above):
+        # rows = b * (h + 2*(pad+1)), cols = w + 2*pad
+        h = prev_f.shape[0] // b - 2 * (pad + 1)
+        w = prev_f.shape[1] - 2 * pad
         fph = h + 2 * pad
         fpw = w + 2 * pad
         base_y = frame_idx * (fph + 2) + 1
@@ -568,4 +594,5 @@ def track_points_batched(
         new_pts.reshape(b, n, 2),
         (status & flat_valid).reshape(b, n),
         err.reshape(b, n),
+        next_folded,
     )

@@ -97,8 +97,13 @@ def make_batched_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
     _, detect, step_batched = make_step(cfg, frame_size, roi_mask, sub_masks)
 
     def run_chunk_b(states: PipelineState, frames: jnp.ndarray):
-        states, outs = jax.lax.scan(
-            step_batched, states, jnp.swapaxes(frames, 0, 1)
+        from lk_tpu.flow.sparse import fold_tracking_levels
+
+        # seed the tracker-prep carry from the last chunk's final frame;
+        # inside the scan each frame batch is prepped exactly once
+        prev_folded = fold_tracking_levels(states.prev_gray, cfg.lk)
+        (states, _), outs = jax.lax.scan(
+            step_batched, (states, prev_folded), jnp.swapaxes(frames, 0, 1)
         )
         # scan stacks outputs on T first; hosts consume (B, T, ...)
         return states, jax.tree_util.tree_map(

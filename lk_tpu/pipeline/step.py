@@ -291,8 +291,13 @@ def make_step(
         )
         return _post(state, gray, ctx, det_pts, det_valid)
 
-    def step_batched(states: PipelineState, grays: jnp.ndarray):
-        """Step B streams at once: states' leaves have a leading B axis.
+    def step_batched(carry, grays: jnp.ndarray):
+        """Step B streams at once; carry = (states, prev_folded).
+
+        states' leaves have a leading B axis; prev_folded is the previous
+        frame batch's tracker prep (flow.sparse.fold_tracking_levels) —
+        carrying it means each frame batch is decimated/folded once, not
+        twice (chunk runners seed it from states.prev_gray at chunk start).
 
         Two batching hazards drive this variant (vs jax.vmap(step)):
         tracking vmapped over streams turns window reads into pathological
@@ -301,12 +306,13 @@ def make_step(
         ``any(trigger)`` across streams (a scalar), keeping the per-stream
         semantics while still skipping the work on most frames.
         """
-        from lk_tpu.flow.sparse import track_points_batched
+        from lk_tpu.flow.sparse import track_points_batched_prepped
 
+        states, prev_folded = carry
         grays = grays.astype(jnp.float32)
         b = grays.shape[0]
-        p1, st, _err = track_points_batched(
-            states.prev_gray, grays,
+        p1, st, _err, next_folded = track_points_batched_prepped(
+            prev_folded, grays,
             states.pts.reshape(b, g * s, 2),
             states.valid.reshape(b, g * s), cfg.lk,
         )
@@ -321,6 +327,7 @@ def make_step(
             lambda gg: zeros,
             grays,
         )
-        return jax.vmap(_post)(states, grays, ctx, det_pts, det_valid)
+        states, outs = jax.vmap(_post)(states, grays, ctx, det_pts, det_valid)
+        return (states, next_folded), outs
 
     return step, detect, step_batched
