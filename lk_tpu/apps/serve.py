@@ -62,9 +62,11 @@ def main(argv=None):
     cfg = PipelineConfig()
     if jax.default_backend() != "cpu":
         # Pallas window gather for the batched tracker (TPU-only Mosaic
-        # kernel; the vmapped dynamic_slice path stays for CPU/tests)
+        # kernel; the vmapped dynamic_slice path stays for CPU/tests) +
+        # fast-MXU coarse pyramid (parity < 0.1 px, tested)
         cfg = dataclasses.replace(
-            cfg, lk=dataclasses.replace(cfg.lk, pallas_windows=True)
+            cfg, lk=dataclasses.replace(cfg.lk, pallas_windows=True,
+                                        fast_pyramid=True)
         )
     scenes = [
         SyntheticRoadStream(width=args.width, height=args.height,

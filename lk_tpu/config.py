@@ -29,6 +29,14 @@ class LKConfig:
     # measured 8.8 ms fixed cost at B=32xN=20).  Identical math; requires a
     # TPU backend (the serving apps enable it there).
     pallas_windows: bool = False
+    # Build the batched tracker's coarse pyramid levels with the fast
+    # banded-MXU pyr_down (DEFAULT matmul precision, bf16 data rounding
+    # <= 0.5 intensity on 0..255 frames) instead of the bit-exact
+    # cv.pyrDown path.  Level 0 — where the final refinement happens — is
+    # the raw frame either way; parity vs OpenCV stays < 0.1 px (tested).
+    # Only affects fold_tracking_levels / track_points_batched; the
+    # single-pair oracle path (track_points) stays exact.
+    fast_pyramid: bool = False
 
     @property
     def half_win(self) -> Tuple[float, float]:

@@ -1297,7 +1297,7 @@ def make_fused_lk_level(
 # ---------------------------------------------------------------------------
 
 _GK = 16         # points per grid step (all 2*_GK DMAs in flight)
-_PW_ROWS = 40    # prev rows: 8..15 row offset + (win+1)<=25 + scharr +-1
+_PW_ROWS = 32    # prev rows: corner row 1..8 in-fetch + (win+2)<=24 used
 _SW_ROWS2 = 40   # aligned superwindow rows (32 + 8 align slack)
 _GW = 256        # DMA width: 128-aligned cols + <=175 used
 _PW_OUT = 24     # emitted prev rows: corner-1 at row 0 (win+1 <= 22)
@@ -1324,10 +1324,11 @@ def make_point_window_gather(
 
     starts: (8, NP) int32 — [prev_row_al, prev_col_al, sw_row_al,
     sw_col_al, prev_col_rem, sw_col_rem, prev_row_rem, sw_row_rem];
-    *_al rows 8-aligned / cols 128-aligned and in-bounds for a (40, 256)
-    slice (caller pads the images); prev_col_rem is the lane of source
-    column corner-1 (so corner-1-aligned fetches), prev_row_rem the row
-    of the corner (8..15), sw_row_rem the superwindow-top row (0..7).
+    *_al rows 8-aligned / cols 128-aligned and in-bounds for a
+    (_PW_ROWS/_SW_ROWS2, 256) slice (caller pads the images); prev_col_rem
+    is the lane of source column corner-1 (so corner-1-aligned fetches),
+    prev_row_rem the in-fetch row of the corner (1..8 — the fetch starts at
+    the 8-floor of corner-1), sw_row_rem the superwindow-top row (0..7).
     NP % 16 == 0.
 
     Returns prev_wins (NP, 3, _PW_OUT, 128): plane 0 prev intensities,
@@ -1398,9 +1399,9 @@ def make_point_window_gather(
             # exactly the left neighbor the horizontal Scharr tap needs
             p = pltpu.roll(scr_p[slot, k], shift=-(starts[4, idx] + 1),
                            axis=1)
-            # row roll: corner lands at row 8 (fetch row = corner row -
-            # remainder, remainder in 8..15)
-            p = unroll_rows(p, starts[4 + 2, idx] - 8)
+            # row roll: corner-1 lands at row 0 (fetch starts at the
+            # 8-floor of corner-1, so the corner row is 1..8 in-fetch)
+            p = unroll_rows(p, starts[4 + 2, idx] - 1)
             # Scharr exactly as ops/gradients.py: smooth [3,10,3]/16 along
             # one axis, diff [-0.5, 0, 0.5] along the other, same tap order
             sm = (p[:-2] * (3.0 / 16.0) + p[1:-1] * (10.0 / 16.0)
@@ -1414,10 +1415,14 @@ def make_point_window_gather(
                    + p * (10.0 / 16.0)
                    + pltpu.roll(p, shift=_GW - 1, axis=1) * (3.0 / 16.0))
             iy = (smx[2:] - smx[:-2]) * 0.5                # row r -> p r+1
-            # out row q == p row q+7 (corner-1 at out row 0, corner at 1)
-            outp[k, 0] = p[7:7 + _PW_OUT, :128]
-            outp[k, 1] = ix[6:6 + _PW_OUT, :128]
-            outp[k, 2] = iy[6:6 + _PW_OUT, :128]
+            # out row q == p row q (corner-1 at out row 0, corner at 1);
+            # gradient row q == deriv at p row q == ix[q-1], so prepend one
+            # throwaway row (out row 0 of planes 1/2 is never consumed)
+            outp[k, 0] = p[:_PW_OUT, :128]
+            outp[k, 1] = jnp.concatenate(
+                [ix[:1], ix[:_PW_OUT - 1]], axis=0)[:, :128]
+            outp[k, 2] = jnp.concatenate(
+                [iy[:1], iy[:_PW_OUT - 1]], axis=0)[:, :128]
             sw_copy(idx, slot, k).wait()
             sw = pltpu.roll(scr_s[slot, k], shift=-starts[5, idx], axis=1)
             sw = unroll_rows(sw, starts[5 + 2, idx])

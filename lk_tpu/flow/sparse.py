@@ -308,7 +308,7 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     cx_p = cx + 128
     sy_p = syf + 8
     sx_p = sxf + 128
-    pr_al = (cy_p // 8) * 8 - 8
+    pr_al = ((cy_p - 1) // 8) * 8
     pc_al = ((cx_p - 1) // 128) * 128
     sr_al = (sy_p // 8) * 8
     sc_al = (sx_p // 128) * 128
@@ -341,7 +341,7 @@ def fold_tracking_levels(imgs: jnp.ndarray, cfg: LKConfig = LKConfig()):
     pad = max(cfg.win_size) + 2
     levels = [imgs.astype(jnp.float32)]
     for _ in range(cfg.max_level):
-        levels.append(pyr_down(levels[-1]))
+        levels.append(pyr_down(levels[-1], fast=cfg.fast_pyramid))
 
     def fold(x3):
         # one extra guard row above/below each frame: the 3x3 Scharr on the

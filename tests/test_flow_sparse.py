@@ -191,3 +191,39 @@ def test_batched_matches_per_stream(rng):
         np.testing.assert_array_equal(np.asarray(bs[s]), np.asarray(ss))
         np.testing.assert_allclose(np.asarray(be[s]), np.asarray(se),
                                    atol=1e-3)
+
+
+def test_batched_fast_pyramid_parity(rng):
+    """fast_pyramid (bf16 MXU coarse levels) stays within the OpenCV parity
+    budget: the level-0 refinement sees the exact frames either way."""
+    import cv2 as cv
+    import dataclasses
+
+    from lk_tpu.config import LKConfig
+    from lk_tpu.flow.sparse import track_points_batched
+
+    b, h, w, n = 2, 120, 200, 12
+    prevs, nxts, ptss = [], [], []
+    for s in range(b):
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 1.5)
+        m = np.float32([[1, 0, 5.0], [0, 1, -3.5]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        pts = np.stack([
+            rng.uniform(16, w - 16, n), rng.uniform(16, h - 16, n)
+        ], -1).astype(np.float32)
+        prevs.append(img)
+        nxts.append(nxt)
+        ptss.append(pts)
+    valid = jnp.ones((b, n), bool)
+    exact, es, _ = track_points_batched(
+        jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(nxts)),
+        jnp.asarray(np.stack(ptss)), valid)
+    fast, fs, _ = track_points_batched(
+        jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(nxts)),
+        jnp.asarray(np.stack(ptss)), valid,
+        dataclasses.replace(LKConfig(), fast_pyramid=True))
+    both = np.asarray(es) & np.asarray(fs)
+    d = np.linalg.norm(np.asarray(exact) - np.asarray(fast), axis=-1)[both]
+    assert d.mean() < 0.02 and d.max() < 0.1, (d.mean(), d.max())
