@@ -59,7 +59,12 @@ def main(argv=None):
 
     import jax
 
-    cfg = PipelineConfig()
+    # out_cap: compact the update/CP row transport on device (exact, counts
+    # checked on drain) — the fixed 190-slot padding dominated the host
+    # readback, 58% of the B=64 serving wall (BENCH_NOTES.md).  48/frame
+    # avg per 16-frame chunk = 768-row budget vs measured p99 ~100 peaks
+    # on single frames, mean ~14.
+    cfg = dataclasses.replace(PipelineConfig(), out_cap=48)
     if jax.default_backend() != "cpu":
         # Pallas window gather for the batched tracker (TPU-only Mosaic
         # kernel; the vmapped dynamic_slice path stays for CPU/tests) +

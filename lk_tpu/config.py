@@ -245,6 +245,16 @@ class PipelineConfig:
     csv_rows_on_update: bool = True
     # LK3 applies the contrast tone curve inside process_img (LK3:274).
     contrast_enhance: bool = False
+    # Per-frame AVERAGE budget for chunk-compacted output transport (rows
+    # per frame; a chunk of T frames shares a T*out_cap buffer).  The
+    # update-row / cross-point outputs reserve P = C(tp_num, 2) = 190 slots
+    # per frame while real frames emit ~14 (p99 ~100, measured on synthetic
+    # road scenes) — compacting on device cuts the host readback ~3x, which
+    # dominated multi-stream serving wall time.  0 = off: full fixed-capacity
+    # FrameOutputs transport, bit-identical to the reference emission.
+    # Compaction is exact unless a chunk's total exceeds the budget, which
+    # the host detects from the transported counts and raises on.
+    out_cap: int = 0
 
     def derived_height(self, src_h: int, src_w: int) -> int:
         """Frame height after aspect-preserving resize (LK_Final.py:426-428)."""

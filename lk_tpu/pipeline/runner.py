@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from lk_tpu.config import PipelineConfig
 from lk_tpu.ops.rasterize import build_roi_masks
 from lk_tpu.pipeline.state import (
+    CompactChunkOutputs,
     FrameOutputs,
     PipelineState,
     init_pipeline_state,
@@ -62,6 +63,63 @@ def _cached_finish(cfg: PipelineConfig):
     return _jax.jit(_jax.vmap(_finish))
 
 
+def _compact_masked_rows(rows: jnp.ndarray, mask: jnp.ndarray, cap: int):
+    """Order-stable device compaction of (..., T, P, 2) masked rows.
+
+    Sorts each chunk's T*P slots by flat (frame, slot) index among the
+    masked entries (unmasked keys sort past the end), carrying the x/y
+    coordinates as sort payload — compaction with zero gathers, the only
+    exact-permutation primitive that lowers well on TPU.  Returns
+    ((..., cap, 2) rows, (..., T) exact per-frame counts); rows beyond cap
+    are lost on device, which the host detects from the counts.
+    """
+    t, p = mask.shape[-2:]
+    n = t * p
+    cap = min(cap, n)
+    flat_m = mask.reshape(mask.shape[:-2] + (n,))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(flat_m, idx, jnp.int32(n))
+    flat_r = rows.reshape(rows.shape[:-3] + (n, 2))
+    _, xs, ys = jax.lax.sort(
+        (key, flat_r[..., 0], flat_r[..., 1]), num_keys=1
+    )
+    comp = jnp.stack([xs[..., :cap], ys[..., :cap]], axis=-1)
+    counts = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return comp, counts
+
+
+def _compact_chunk_outputs(outs: FrameOutputs,
+                           cap_per_frame: int) -> CompactChunkOutputs:
+    """FrameOutputs -> CompactChunkOutputs with a T*cap_per_frame budget.
+
+    Expects leaves laid out (..., T, per-frame-axes): (T, ...) from the
+    single-stream runner, (B, T, ...) from the batched runner after its
+    host-layout transpose."""
+    t = outs.show_mask.shape[-1]
+    cap = cap_per_frame * t
+    upd_rows, upd_counts = _compact_masked_rows(
+        outs.update_rows, outs.update_mask, cap)
+    cp_rows, cp_counts = _compact_masked_rows(
+        outs.cp_xy, outs.cp_mask, cap)
+    empty_rows = jnp.zeros(outs.update_rows.shape[:-2] + (0, 2), jnp.float32)
+    empty_mask = jnp.zeros(outs.update_mask.shape[:-1] + (0,), jnp.bool_)
+    # pts/pts_valid/motion_labels are overlay-API surface with no drain
+    # consumer — drop them from the capped transport too (grep-verified)
+    lead = outs.pts.shape[:-3]
+    rest = outs._replace(
+        update_rows=empty_rows, update_mask=empty_mask,
+        cp_xy=empty_rows, cp_mask=empty_mask,
+        pts=jnp.zeros(lead + (0, 0, 2), jnp.float32),
+        pts_valid=jnp.zeros(lead + (0, 0), jnp.bool_),
+        motion_labels=jnp.zeros(outs.motion_labels.shape[:-1] + (0,),
+                                jnp.int32),
+    )
+    return CompactChunkOutputs(
+        upd_rows=upd_rows, upd_counts=upd_counts,
+        cp_rows=cp_rows, cp_counts=cp_counts, rest=rest,
+    )
+
+
 def make_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
     """Returns (run_chunk, init_fn, masks) for processed-gray frame chunks.
 
@@ -74,7 +132,10 @@ def make_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
     step, detect, _ = make_step(cfg, frame_size, roi_mask, sub_masks)
 
     def run_chunk(state: PipelineState, frames: jnp.ndarray):
-        return jax.lax.scan(step, state, frames)
+        state, outs = jax.lax.scan(step, state, frames)
+        if cfg.out_cap > 0:
+            outs = _compact_chunk_outputs(outs, cfg.out_cap)
+        return state, outs
 
     def init_fn(first_gray: jnp.ndarray) -> PipelineState:
         st = init_pipeline_state(first_gray, cfg)
@@ -106,9 +167,12 @@ def make_batched_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
             step_batched, (states, prev_folded), jnp.swapaxes(frames, 0, 1)
         )
         # scan stacks outputs on T first; hosts consume (B, T, ...)
-        return states, jax.tree_util.tree_map(
+        outs = jax.tree_util.tree_map(
             lambda x: jnp.swapaxes(x, 0, 1), outs
         )
+        if cfg.out_cap > 0:
+            outs = _compact_chunk_outputs(outs, cfg.out_cap)
+        return states, outs
 
     def init_fn(first_gray: jnp.ndarray) -> PipelineState:
         st = init_pipeline_state(first_gray, cfg)
@@ -244,37 +308,63 @@ class VideoPipeline:
             self.drain()
         return outs
 
-    def _drain(self, outs: FrameOutputs) -> None:
+    def _drain(self, outs) -> None:
         # One device->host transfer for the whole pytree: per-array fetches
         # each pay the full tunnel round trip (~33 ms measured) and dominated
         # the host loop.  The bookkeeping below is vectorized numpy — the
         # per-frame Python loop it replaces dominated multi-stream serving
         # (measured ~0.5 ms/frame of host time).
         outs = jax.device_get(outs)
+        compact = isinstance(outs, CompactChunkOutputs)
+        if compact:
+            comp, outs = outs, outs.rest
         t = outs.show_mask.shape[0]
-        upd_rows = np.asarray(outs.update_rows, np.float64)
-        upd_mask = np.asarray(outs.update_mask)
         show_rows = np.asarray(outs.show_row, np.float64)
         show_mask = np.asarray(outs.show_mask)
         seg_s = np.asarray(outs.line_start)
         seg_e = np.asarray(outs.line_stop)
         seg_m = np.asarray(outs.line_mask)
-        cp_xy = np.asarray(outs.cp_xy, np.float64)
-        cp_m = np.asarray(outs.cp_mask)
         fracs = np.asarray(outs.motion_fracs)
 
-        self.motion_rows.extend(map(tuple, np.round(fracs, 4)))
-        self.cross_points.extend(map(tuple, cp_xy[cp_m]))
-        # csv rows: per frame, update rows (in order) then the show row —
-        # flattened via a combined (t, P+1, 2) matrix so row-major masking
-        # preserves the reference's emission order (LK_Final.py:612-638).
-        if self.cfg.csv_rows_on_update:
-            comb = np.concatenate([upd_rows, show_rows[:, None, :]], axis=1)
-            comb_m = np.concatenate([upd_mask, show_mask[:, None]], axis=1)
+        if compact:
+            # reconstruct the exact masked row streams from the compacted
+            # buffers + per-frame counts (runner._compact_chunk_outputs)
+            cap = comp.upd_rows.shape[-2]
+            upd_counts = np.asarray(comp.upd_counts, np.int64)
+            cp_counts = np.asarray(comp.cp_counts, np.int64)
+            n_upd = int(upd_counts.sum())
+            n_cp = int(cp_counts.sum())
+            if n_upd > cap or n_cp > cap:
+                raise RuntimeError(
+                    f"output compaction overflow: chunk emitted "
+                    f"{max(n_upd, n_cp)} rows > budget {cap}; raise "
+                    f"PipelineConfig.out_cap (or set 0 to disable)"
+                )
+            upd_rows = np.asarray(comp.upd_rows, np.float64)[:n_upd]
+            cp_rows = np.asarray(comp.cp_rows, np.float64)[:n_cp]
+            upd_frame = np.repeat(np.arange(t), upd_counts)
         else:
-            comb = show_rows[:, None, :]
-            comb_m = show_mask[:, None]
-        self.csv_rows.extend(map(tuple, comb[comb_m]))
+            upd_full = np.asarray(outs.update_rows, np.float64)
+            upd_m = np.asarray(outs.update_mask)
+            cp_full = np.asarray(outs.cp_xy, np.float64)
+            cp_m = np.asarray(outs.cp_mask)
+            upd_rows = upd_full[upd_m]
+            cp_rows = cp_full[cp_m]
+            upd_frame = np.nonzero(upd_m)[0]
+
+        self.motion_rows.extend(map(tuple, np.round(fracs, 4)))
+        self.cross_points.extend(map(tuple, cp_rows))
+        # csv rows: per frame, update rows (in order) then the show row —
+        # the reference emission order (LK_Final.py:612-638).  A stable
+        # sort on (frame, kind) interleaves the two compacted streams.
+        if self.cfg.csv_rows_on_update:
+            show_frame = np.nonzero(show_mask)[0]
+            allr = np.concatenate([upd_rows, show_rows[show_mask]], axis=0)
+            key = np.concatenate([upd_frame * 2, show_frame * 2 + 1])
+            self.csv_rows.extend(map(tuple, allr[np.argsort(key,
+                                                            kind="stable")]))
+        else:
+            self.csv_rows.extend(map(tuple, show_rows[show_mask]))
         self.vp_per_frame.extend(
             tuple(r) if m else None for r, m in zip(show_rows, show_mask)
         )

@@ -48,6 +48,29 @@ class FrameOutputs(NamedTuple):
     motion_fracs: jnp.ndarray  # (4,) static/away/toward/lateral fractions
 
 
+class CompactChunkOutputs(NamedTuple):
+    """Chunk-level FrameOutputs with the pair-capacity rows compacted.
+
+    The per-frame transport reserves P = C(tp_num, 2) = 190 slots for VP
+    update rows and accepted cross points while real frames emit ~14 on
+    average (measured, scripts/exp_row_counts.py) — under the ~25 MB/s
+    axon host link the padding dominated serving wall time (drain was 58%
+    of the B=64 headline run).  The chunk runner sorts the masked rows of
+    all T frames to the front ON DEVICE (order-stable; lax.sort with the
+    coordinates as payload — no gathers) and transports only the first
+    ``cap`` plus exact per-frame counts, so the host reconstructs the
+    identical row stream; an overflowing chunk (total rows > cap) is
+    detected from the counts and raised loudly (PipelineConfig.out_cap
+    sizes the budget).
+    """
+    upd_rows: jnp.ndarray    # (K, 2) f32 — masked update rows, chunk-compacted
+    upd_counts: jnp.ndarray  # (T,) i32 — rows per frame (exact, pre-cap)
+    cp_rows: jnp.ndarray     # (K, 2) f32 — masked accepted CPs, chunk-compacted
+    cp_counts: jnp.ndarray   # (T,) i32
+    rest: FrameOutputs       # update_rows/update_mask/cp_xy/cp_mask dropped
+                             # (zero-size placeholders keep the type stable)
+
+
 def slots_per_group(cfg: PipelineConfig) -> int:
     return cfg.tp_num // cfg.num_groups
 

@@ -173,3 +173,69 @@ def test_vp_hide_and_reinit_on_scene_change():
     assert len(second) > 5, "VP never re-initialized"
     err = np.linalg.norm(second[len(second) // 2:].mean(0) - (270, 120))
     assert err < 30, err
+
+
+def test_compact_outputs_match_uncapped(scene):
+    """out_cap compaction transports the identical row streams.
+
+    The capped runner compacts update/CP rows on device (runner.
+    _compact_chunk_outputs) and the drain reconstructs them from counts —
+    every host-visible sink must match the uncapped run exactly."""
+    import dataclasses
+
+    base = PipelineConfig()
+    ref = VideoPipeline(base, src_size=(scene.width, scene.height), chunk=8)
+    ref.run(iter(scene))
+    capped = VideoPipeline(dataclasses.replace(base, out_cap=48),
+                           src_size=(scene.width, scene.height), chunk=8)
+    capped.run(iter(scene))
+    assert capped.csv_rows == ref.csv_rows
+    assert capped.cross_points == ref.cross_points
+    assert capped.vp_per_frame == ref.vp_per_frame
+    assert len(capped.segments) == len(ref.segments)
+    for a, b in zip(capped.segments, ref.segments):
+        np.testing.assert_array_equal(a["start"], b["start"])
+        np.testing.assert_array_equal(a["stop"], b["stop"])
+
+
+def test_compact_outputs_overflow_raises(scene):
+    """A chunk emitting more rows than the budget fails loudly, not silently."""
+    import dataclasses
+
+    pipe = VideoPipeline(dataclasses.replace(PipelineConfig(), out_cap=1),
+                         src_size=(scene.width, scene.height), chunk=8)
+    with pytest.raises(RuntimeError, match="compaction overflow"):
+        pipe.run(iter(scene))
+
+
+def test_compact_outputs_match_uncapped_batched(scene):
+    """Batched (MultiStreamPipeline) capped transport == uncapped transport.
+
+    Same batched compute path both ways (the batched tracker's fp noise vs
+    the single-stream path is covered elsewhere); only the output transport
+    differs, and it must be lossless."""
+    import dataclasses
+
+    from lk_tpu.pipeline.runner import MultiStreamPipeline
+
+    frames = [scene.frame(t) for t in range(24)]
+    base = PipelineConfig()
+
+    def run_ms(cfg):
+        ms = MultiStreamPipeline(cfg, src_size=(scene.width, scene.height),
+                                 n_streams=2, chunk=8)
+        batch = np.stack([np.stack(frames)] * 2)
+        t = 0
+        while t < len(frames):
+            n = min(8 + (1 if ms.states is None else 0), len(frames) - t)
+            ms.feed(batch[:, t:t + n])
+            t += n
+        ms.drain()
+        return ms
+
+    ref = run_ms(base)
+    capped = run_ms(dataclasses.replace(base, out_cap=48))
+    for p, q in zip(capped.pipes, ref.pipes):
+        assert p.csv_rows == q.csv_rows
+        assert p.cross_points == q.cross_points
+        assert p.vp_per_frame == q.vp_per_frame
