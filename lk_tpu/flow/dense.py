@@ -449,9 +449,11 @@ def build_frame_levels(
     """Padded pyramid levels of ONE frame (the video-mode scan carry).
 
     Identical base pre-pad and level geometry to dense_pyramidal_lk's pair
-    path, but decimates a single frame per level with the XLA fast
-    pyr_down (the Pallas kernel is dual-plane — built for decimating a
-    PAIR at once; with one new frame per video step there is no pair).
+    path, but decimates with the XLA fast pyr_down: the single-plane
+    Pallas form (pallas_pyr_down_one) was measured ~1% SLOWER end-to-end
+    here (1475 vs 1490 fps @1080p, scripts/exp_pyr_one.py) — one frame
+    per video step is too little work to amortize the kernel's fixed
+    per-step DMA cost, unlike the pair path where two planes share a grid.
     """
     h_true, w_true = frame.shape[-2:]
     f = frame.astype(jnp.float32)

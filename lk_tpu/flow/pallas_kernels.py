@@ -1484,12 +1484,17 @@ def _pyr_pair_band_matrix() -> np.ndarray:
     return m
 
 
-def _pyr_pair_kernel(
-    af_hbm, bf_hbm, band_ref, outa_hbm, outb_hbm,
-    in_tile, v_buf, out_tile, sems,
-    *, h2, w, th2, w2p, n_q, n_bands, tile_rows,
+def _pyr_down_kernel(
+    *refs,
+    n_planes, h2, w, th2, w2p, n_q, n_bands, tile_rows,
 ):
     """Grid step s: output band (s % n_bands) of plane (s // n_bands).
+
+    Generic over n_planes: the pair form (n_planes=2) decimates (prev, next)
+    of a level in one grid (the per-pair pyramid build); the single form
+    (n_planes=1) serves video mode, where each scan step decimates only the
+    ONE new frame (dense.build_frame_levels) and a dual-plane call would do
+    double work.
 
     The input refs are the RAW frames viewed as (h/2, 2w) fused row pairs
     (a metadata-free reshape — no XLA prep pass), so the even/odd row split
@@ -1518,8 +1523,13 @@ def _pyr_pair_kernel(
     pass).  Input DMAs are double-buffered across steps; output DMAs wait
     two steps later with a final-step drain.
     """
+    ins = refs[:n_planes]
+    band_ref = refs[n_planes]
+    outs = refs[n_planes + 1:2 * n_planes + 1]
+    in_tile, v_buf, out_tile, sems = refs[2 * n_planes + 1:]
+
     s = pl.program_id(0)
-    total = 2 * n_bands
+    total = n_planes * n_bands
     slot = jax.lax.rem(s, 2)
     oslot = 1 - slot
     l0 = min(th2 + 8, h2)                       # band-0 copy rows
@@ -1560,36 +1570,31 @@ def _pyr_pair_kernel(
                 ref.at[pl.ds(row0, l_last), :],
                 in_tile.at[sl, pl.ds(0, l_last), :], sems.at[sl]))
 
-    def start_in(s_, sl):
+    def for_plane(s_, fn):
+        """Run fn(plane_refs_index, band) under the matching plane branch
+        (static-unrolled; the single-plane form needs no predicate)."""
         pl_ = s_ // n_bands
         band_ = s_ - pl_ * n_bands
+        if n_planes == 1:
+            fn(0, band_)
+            return
+        for p in range(n_planes):
+            @pl.when(pl_ == p)
+            def _(p=p):
+                fn(p, band_)
 
-        @pl.when(pl_ == 0)
-        def _():
-            in_cases(af_hbm, band_, sl, "start")
-
-        @pl.when(pl_ > 0)
-        def _():
-            in_cases(bf_hbm, band_, sl, "start")
+    def start_in(s_, sl):
+        for_plane(s_, lambda p, band_: in_cases(ins[p], band_, sl, "start"))
 
     def out_copy(s_, sl, op):
-        pl_ = s_ // n_bands
-        band_ = s_ - pl_ * n_bands
-        row0 = pl.multiple_of(band_ * th2, 8)
-
-        def go(ref):
+        def go(p, band_):
+            row0 = pl.multiple_of(band_ * th2, 8)
             getattr(pltpu.make_async_copy(
-                out_tile.at[sl], ref.at[pl.ds(row0, th2), :],
+                out_tile.at[sl], outs[p].at[pl.ds(row0, th2), :],
                 sems.at[2 + sl],
             ), op)()
 
-        @pl.when(pl_ == 0)
-        def _():
-            go(outa_hbm)
-
-        @pl.when(pl_ > 0)
-        def _():
-            go(outb_hbm)
+        for_plane(s_, go)
 
     @pl.when(s == 0)
     def _():
@@ -1608,13 +1613,7 @@ def _pyr_pair_kernel(
     r0 = band * th2
 
     # wait this step's input (band-matched descriptor => matching size)
-    @pl.when(plane == 0)
-    def _():
-        in_cases(af_hbm, band, slot, "wait")
-
-    @pl.when(plane > 0)
-    def _():
-        in_cases(bf_hbm, band, slot, "wait")
+    for_plane(s, lambda p, band_: in_cases(ins[p], band_, slot, "wait"))
 
     # zero the single out-of-frame row each edge band reads (row 7 is
     # fused row -1 for band 0; row l_last is fused row h/2 for the last)
@@ -1692,10 +1691,8 @@ def pyr_pair_supported(h: int, w: int) -> bool:
     return h % 16 == 0 and w % 128 == 0 and w >= 512 and h >= 16
 
 
-def pallas_pyr_down_pair(
-    a: jnp.ndarray, b: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """cv.pyrDown-geometry decimation of TWO same-shape frames in ONE kernel.
+def _pallas_pyr_down(planes: tuple) -> list:
+    """cv.pyrDown-geometry decimation of N same-shape frames in ONE kernel.
 
     Matches ops.blur.pyr_down (5-tap [1,4,6,4,1]/16, REFLECT_101 border,
     even-pixel decimation, out size h/2 x ceil(w/2)) to bf16 data rounding
@@ -1708,14 +1705,15 @@ def pallas_pyr_down_pair(
     per frame pair (two dense banded matmuls each); a first Pallas version
     that reflect-padded in XLA spent 79 us in the pads alone.  This kernel
     reads the raw frames directly as fused row-pair views and does ALL
-    border handling in-kernel (see _pyr_pair_kernel), leaving only
+    border handling in-kernel (see _pyr_down_kernel), leaving only
     HBM-bandwidth-bound traffic: each frame read ~1.1x once, each
-    quarter-size result written once (~40 us/pair, both planes sharing one
+    quarter-size result written once (~40 us/pair, planes sharing one
     grid to amortize the fixed per-step DMA cost).
     """
-    h, w = a.shape
-    assert b.shape == (h, w), (a.shape, b.shape)
+    h, w = planes[0].shape
+    assert all(p.shape == (h, w) for p in planes)
     assert pyr_pair_supported(h, w), (h, w)
+    n_planes = len(planes)
     h2 = h // 2
     w2 = -(-w // 2)
     w2p = -(-w2 // 128) * 128
@@ -1728,27 +1726,24 @@ def pallas_pyr_down_pair(
     h2p = n_bands * th2
     tile_rows = th2 + 16
 
-    fused = (a.astype(jnp.float32).reshape(h2, 2 * w),
-             b.astype(jnp.float32).reshape(h2, 2 * w))
+    fused = [p.astype(jnp.float32).reshape(h2, 2 * w) for p in planes]
     kernel = functools.partial(
-        _pyr_pair_kernel, h2=h2, w=w, th2=th2, w2p=w2p, n_q=n_q,
-        n_bands=n_bands, tile_rows=tile_rows,
+        _pyr_down_kernel, n_planes=n_planes, h2=h2, w=w, th2=th2, w2p=w2p,
+        n_q=n_q, n_bands=n_bands, tile_rows=tile_rows,
     )
-    outa, outb = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((h2p, w2p), jnp.float32),
-            jax.ShapeDtypeStruct((h2p, w2p), jnp.float32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((h2p, w2p), jnp.float32)
+            for _ in range(n_planes)
         ),
-        grid=(2 * n_bands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+        grid=(n_planes * n_bands,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.HBM)] * n_planes
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        ),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_planes)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tile_rows, 2 * w), jnp.float32),
@@ -1760,4 +1755,27 @@ def pallas_pyr_down_pair(
             vmem_limit_bytes=48 * 1024 * 1024
         ),
     )(*fused, jnp.asarray(_pyr_pair_band_matrix(), jnp.bfloat16))
-    return outa[:h2, :w2], outb[:h2, :w2]
+    return [o[:h2, :w2] for o in outs]
+
+
+def pallas_pyr_down_pair(
+    a: jnp.ndarray, b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decimate the (prev, next) frames of a level in one kernel — the
+    per-pair pyramid build (see _pallas_pyr_down)."""
+    outa, outb = _pallas_pyr_down((a, b))
+    return outa, outb
+
+
+def pallas_pyr_down_one(a: jnp.ndarray) -> jnp.ndarray:
+    """Decimate ONE frame (degenerate n_planes=1 form of _pallas_pyr_down).
+
+    Measured ~1% SLOWER than the XLA fast pyr_down when wired into video
+    mode's per-step build (1475 vs 1490 fps @1080p end-to-end,
+    scripts/exp_pyr_one.py): a single plane can't amortize the fixed
+    per-grid-step DMA cost the way the pair form does, so
+    dense.build_frame_levels keeps the XLA path.  Kept because it is the
+    same kernel body as the winning pair form (no extra kernel code) and
+    the right building block if a future caller has batched single frames.
+    """
+    return _pallas_pyr_down((a,))[0]

@@ -119,7 +119,7 @@ def main():
     # Mosaic-sensitive pieces: fused row-pair HBM views, band-edge DMA
     # branches, zero-margin staging buffer, masked REFLECT_101 fixes.
     from lk_tpu.flow.pallas_kernels import (
-        pallas_pyr_down_pair, pyr_pair_supported)
+        pallas_pyr_down_one, pallas_pyr_down_pair, pyr_pair_supported)
     from lk_tpu.ops.blur import pyr_down
 
     ap = jnp.asarray(np.pad(img, ((0, 8), (0, 0)), mode="edge"))
@@ -129,6 +129,8 @@ def main():
     check("pallas pyr_down pair @1088x1920 (bf16 column pass)",
           max(float(jnp.abs(pa - pyr_down(ap)).max()),
               float(jnp.abs(pb - pyr_down(bp_)).max())), 0.6)
+    check("pallas pyr_down single-plane == pair plane-a",
+          float(jnp.abs(jax.jit(pallas_pyr_down_one)(ap) - pa).max()), 1e-9)
 
     # --- 3. full production path EPE vs OpenCV -----------------------------
     pts = np.stack(np.mgrid[40:h - 40:32, 40:w - 40:32][::-1],

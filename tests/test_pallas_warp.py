@@ -298,6 +298,17 @@ class TestPallasPyrDownPair:
             assert np.abs(g[[0, -1], :] - e[[0, -1], :]).max() < 0.6
             assert np.abs(g[:, [0, -1]] - e[:, [0, -1]]).max() < 0.6
 
+    @pytest.mark.parametrize("h,w", [(16, 512), (96, 512), (576, 512)])
+    def test_single_plane_parity(self, rng, h, w):
+        """pallas_pyr_down_one (video mode: one new frame per scan step)
+        matches the pair kernel's plane-a output exactly — same grid body,
+        n_planes=1."""
+        a = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+        b = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+        one = np.asarray(pk.pallas_pyr_down_one(a))
+        pair_a, _ = pk.pallas_pyr_down_pair(a, b)
+        np.testing.assert_array_equal(one, np.asarray(pair_a))
+
     def test_unsupported_geometry_rejected(self):
         assert not pk.pyr_pair_supported(100, 512)   # h % 16
         assert not pk.pyr_pair_supported(544, 960)   # w % 128
