@@ -105,15 +105,17 @@ def main(argv=None):
         # io subsystem's job and measured by --live-ingest.  Staged f32
         # OOMs HBM at B>=64 (B*T*H*W*4); u8 staging is 4x smaller, and the
         # finishing blur (device work any real server performs) runs per
-        # chunk inside the timed window.
+        # chunk inside the timed window.  TIME-MAJOR (F, B, h, w) layout:
+        # each chunk slice is contiguous and feed_staged fuses
+        # slice+finish+scan into one dispatch (scripts/exp_feed_split.py).
         import cv2 as cv
 
         h, w = server.height, server.width
-        u8 = np.empty((args.streams, args.frames, h, w), np.uint8)
+        u8 = np.empty((args.frames, args.streams, h, w), np.uint8)
         for b in range(args.streams):
             for t in range(args.frames):
                 g = cv.cvtColor(scenes[b].frame(t), cv.COLOR_BGR2GRAY)
-                u8[b, t] = cv.resize(g, (w, h), interpolation=cv.INTER_AREA)
+                u8[t, b] = cv.resize(g, (w, h), interpolation=cv.INTER_AREA)
         grays = jnp.asarray(u8)
         grays.block_until_ready()
         decode_busy = None
@@ -176,16 +178,14 @@ def _feed_live(server: MultiStreamPipeline, scenes, args) -> float:
 
 
 def _feed_all(server: MultiStreamPipeline, grays, args) -> None:
-    b = grays.shape[0]
-    h, w = grays.shape[-2:]
-    finish = server.pipes[0]._finish_jit  # jitted vmapped blur(+tone)
+    """Feed a time-major (F, B, h, w) u8 device staging array, one fused
+    dispatch per chunk (slice + finish + scan; see feed_staged)."""
     t = 0
     f = args.frames
     while t < f:
         # first feed consumes one extra frame for initialization
         n = min(args.chunk + (1 if server.states is None else 0), f - t)
-        chunk = finish(grays[:, t:t + n].reshape(b * n, h, w))
-        server.feed_processed(chunk.reshape(b, n, h, w))
+        server.feed_staged(grays, t, n)
         t += n
 
 

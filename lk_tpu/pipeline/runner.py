@@ -413,6 +413,29 @@ def _cached_batched_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
     return jax.jit(run_chunk_b), jax.jit(init_b)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_staged_feed(cfg: PipelineConfig, frame_size: Tuple[int, int],
+                        n: int):
+    """ONE jit for a staged serving feed iteration: dynamic-slice n frame
+    batches out of a time-major (F, B, H, W) u8 staging array, finish
+    (u8->f32 [+tone] + blur) and run the chunk scan — no intermediate
+    dispatches.  Measured vs serve.py's previous 3-dispatch loop on a
+    (B, F) staging layout: 166.8 -> 152.3 ms per B=64 x 16 chunk
+    (scripts/exp_feed_split.py; the (F, B) layout also makes the chunk
+    slice contiguous and lets XLA cancel the scan's (B,T)->(T,B) swap)."""
+    run_b, _ = _cached_batched_runner(cfg, frame_size)
+    finish = _cached_finish(cfg)
+    w, h = frame_size
+
+    def staged(states, staging_fb, t):
+        c = jax.lax.dynamic_slice_in_dim(staging_fb, t, n, 0)  # (n,B,h,w)
+        b = c.shape[1]
+        g = finish(c.reshape(n * b, h, w)).reshape(n, b, h, w)
+        return run_b(states, jnp.swapaxes(g, 0, 1))
+
+    return jax.jit(staged)
+
+
 class MultiStreamPipeline:
     """B same-geometry streams batched through ONE on-device pipeline step.
 
@@ -509,6 +532,31 @@ class MultiStreamPipeline:
         self._pending.append(outs)
         if len(self._pending) >= self.drain_every:
             self._drain_enqueue()
+
+    def feed_staged(self, staging_fb: jnp.ndarray, t: int, n: int) -> None:
+        """Process frames [t, t+n) of a TIME-MAJOR (F, B, H, W) u8 device
+        staging array: slice + finish + chunk scan run as ONE dispatch
+        (see _cached_staged_feed).  The u8 layout keeps HBM staging 4x
+        smaller than f32 and the time-major axis makes the slice
+        contiguous.  First call consumes one frame for initialization."""
+        assert staging_fb.shape[1] == self.n_streams
+        if self.states is None:
+            self.states = self._vinit(self._finish(staging_fb[t]))
+            for p in self.pipes:
+                p.consumed_init_frame = True
+            t += 1
+            n -= 1
+            if n == 0:
+                return
+        fn = _cached_staged_feed(
+            self.cfg, (self.width, self.height), n)
+        self.states, outs = fn(self.states, staging_fb, t)
+        self._pending.append(outs)
+        if len(self._pending) >= self.drain_every:
+            self._drain_enqueue()
+
+    def _finish(self, grays_u8: jnp.ndarray) -> jnp.ndarray:
+        return self.pipes[0]._finish_jit(grays_u8)
 
     def drain(self) -> None:
         # one device->host fetch for every pending chunk of every stream;

@@ -239,3 +239,49 @@ def test_compact_outputs_match_uncapped_batched(scene):
         assert p.csv_rows == q.csv_rows
         assert p.cross_points == q.cross_points
         assert p.vp_per_frame == q.vp_per_frame
+
+
+def test_staged_feed_matches_processed_feed(scene):
+    """feed_staged (ONE fused slice+finish+scan dispatch over a time-major
+    u8 staging array — the serving prestage hot path) == feed_processed
+    with the same per-chunk finish applied separately."""
+    import dataclasses
+
+    import cv2 as cv
+
+    from lk_tpu.pipeline.runner import MultiStreamPipeline
+
+    cfg = dataclasses.replace(PipelineConfig(), out_cap=48)
+    b, f, chunk = 2, 24, 8
+    ms_kw = dict(src_size=(scene.width, scene.height), n_streams=b,
+                 chunk=chunk)
+    ref = MultiStreamPipeline(cfg, **ms_kw)
+    staged = MultiStreamPipeline(cfg, **ms_kw)
+    h, w = ref.height, ref.width
+
+    u8 = np.empty((f, b, h, w), np.uint8)
+    for t in range(f):
+        g = cv.cvtColor(scene.frame(t), cv.COLOR_BGR2GRAY)
+        g = cv.resize(g, (w, h), interpolation=cv.INTER_AREA)
+        u8[t] = g[None]
+    grays_fb = jnp.asarray(u8)
+
+    finish = ref.pipes[0]._finish_jit
+    t = 0
+    while t < f:
+        n = min(chunk + (1 if ref.states is None else 0), f - t)
+        chunk_f32 = finish(
+            jnp.swapaxes(grays_fb[t:t + n], 0, 1).reshape(b * n, h, w)
+        ).reshape(b, n, h, w)
+        ref.feed_processed(chunk_f32)
+        staged.feed_staged(grays_fb, t, n)
+        t += n
+    ref.drain()
+    staged.drain()
+
+    for p, q in zip(staged.pipes, ref.pipes):
+        assert p.frames_done == q.frames_done
+        np.testing.assert_allclose(
+            np.array(p.csv_rows, np.float64).reshape(-1, 2),
+            np.array(q.csv_rows, np.float64).reshape(-1, 2), atol=1e-4)
+        assert len(p.cross_points) == len(q.cross_points)
