@@ -256,6 +256,15 @@ class PipelineConfig:
     # the host detects from the transported counts and raises on.
     out_cap: int = 0
 
+    # Crop the batched tracker's pyramid levels to the ROI's row band
+    # (+ margins): valid tracking points only ever live inside the ROI
+    # trapezoid (check_inside culls escapees every frame, reference
+    # LK_Final.py:537-541), and the tracker's frame-band window gather is
+    # HBM-bound on band height — the ROI covers ~15% of a dashcam frame.
+    # Exact for in-band points (flow/sparse._level_row_bands margins);
+    # disable for point sets that roam the full frame.
+    track_row_band: bool = True
+
     def derived_height(self, src_h: int, src_w: int) -> int:
         """Frame height after aspect-preserving resize (LK_Final.py:426-428)."""
         return int(self.width * (src_h / src_w))

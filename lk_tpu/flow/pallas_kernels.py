@@ -1304,6 +1304,58 @@ _PW_OUT = 24     # emitted prev rows: corner-1 at row 0 (win+1 <= 22)
 _SW_OUT = 32     # emitted superwindow rows: corner at row 0
 
 
+def _unroll_rows(a, e):
+    """Undo the 8-alignment row remainder ``e`` with static-bit sublane
+    rolls (exact at any geometry; the dynamic axis-0 roll is miscompiled
+    for non-power-of-two sublane-group counts)."""
+    for bit in (1, 2, 4):
+        r = pltpu.roll(a, shift=a.shape[0] - bit, axis=0)
+        a = jnp.where((e & bit) != 0, r, a)
+    return a
+
+
+def _prev_window_transform(p, col_rem, row_rem):
+    """(_PW_ROWS, _GW) raw prev fetch -> three (_PW_OUT, 128) planes
+    (intensities, Scharr ix, Scharr iy) with the corner at row 1 / COL 1.
+
+    Shared by the per-point and per-frame-band gather kernels.  The lane
+    roll by col_rem puts source col corner-1 at lane 0 (corner at lane 1)
+    and the tile is immediately sliced to 128 lanes: every op after the
+    roll — the static-bit row unrolls, both Scharr passes — runs on HALF
+    the vregs (the per-point transform chain, not the DMAs, is what the
+    gather's cost is made of; scripts/exp_tracker_split.py).  The window
+    spans lanes 1..win+2 and the stencil's lane-roll wraparound garbage
+    sits at lanes 0/127, outside every consumed column.  Scharr exactly
+    as ops/gradients.py (smooth [3,10,3]/16, diff [-0.5, 0, 0.5])."""
+    p = pltpu.roll(p, shift=-col_rem, axis=1)[:, :128]
+    p = _unroll_rows(p, row_rem - 1)
+    sm = (p[:-2] * (3.0 / 16.0) + p[1:-1] * (10.0 / 16.0)
+          + p[2:] * (3.0 / 16.0))                  # row r -> p r+1
+    ix = (pltpu.roll(sm, shift=127, axis=1)
+          - pltpu.roll(sm, shift=1, axis=1)) * 0.5
+    smx = (pltpu.roll(p, shift=1, axis=1) * (3.0 / 16.0)
+           + p * (10.0 / 16.0)
+           + pltpu.roll(p, shift=127, axis=1) * (3.0 / 16.0))
+    iy = (smx[2:] - smx[:-2]) * 0.5                # row r -> p r+1
+    # out row q == p row q (corner-1 at out row 0, corner at 1); gradient
+    # row q == deriv at p row q == ix[q-1], so prepend one throwaway row
+    # (out row 0 of planes 1/2 is never consumed)
+    return (
+        p[:_PW_OUT],
+        jnp.concatenate([ix[:1], ix[:_PW_OUT - 1]], axis=0),
+        jnp.concatenate([iy[:1], iy[:_PW_OUT - 1]], axis=0),
+    )
+
+
+def _sw_window_transform(sw, col_rem, row_rem):
+    """(_SW_ROWS2, _GW) raw superwindow fetch -> (_SW_OUT, 128) with the
+    corner at row 0 / col 0 (shared by both gather kernels; lanes sliced
+    to 128 right after the roll, same rationale as the prev transform)."""
+    sw = pltpu.roll(sw, shift=-col_rem, axis=1)[:, :128]
+    sw = _unroll_rows(sw, row_rem)
+    return sw[:_SW_OUT]
+
+
 def make_point_window_gather(
     prev_f: jnp.ndarray,       # (FH, FW) folded prev frames (padded)
     next_f: jnp.ndarray,       # (FH, FW) folded next frames (padded)
@@ -1382,51 +1434,17 @@ def make_point_window_gather(
         def _():
             issue(i + 1, oslot)
 
-        def unroll_rows(a, e):
-            # undo the 8-alignment row remainder with static-bit sublane
-            # rolls (exact at any geometry; the dynamic axis-0 roll is
-            # miscompiled for non-power-of-two sublane-group counts)
-            for bit in (1, 2, 4):
-                r = pltpu.roll(a, shift=a.shape[0] - bit, axis=0)
-                a = jnp.where((e & bit) != 0, r, a)
-            return a
-
         for k in range(gk):
             idx = i * gk + k
             prev_copy(idx, slot, k).wait()
-            # lane roll by (remainder+1): corner lands at col 0; the
-            # wraparound puts source col corner-1 at col 255, which is
-            # exactly the left neighbor the horizontal Scharr tap needs
-            p = pltpu.roll(scr_p[slot, k], shift=-(starts[4, idx] + 1),
-                           axis=1)
-            # row roll: corner-1 lands at row 0 (fetch starts at the
-            # 8-floor of corner-1, so the corner row is 1..8 in-fetch)
-            p = unroll_rows(p, starts[4 + 2, idx] - 1)
-            # Scharr exactly as ops/gradients.py: smooth [3,10,3]/16 along
-            # one axis, diff [-0.5, 0, 0.5] along the other, same tap order
-            sm = (p[:-2] * (3.0 / 16.0) + p[1:-1] * (10.0 / 16.0)
-                  + p[2:] * (3.0 / 16.0))                  # row r -> p r+1
-            # right neighbor == circular roll by width-1 (static shifts
-            # must be non-negative); col 255 wraps to source corner-1,
-            # exactly the left neighbor the stencil needs at col 0
-            ix = (pltpu.roll(sm, shift=_GW - 1, axis=1)
-                  - pltpu.roll(sm, shift=1, axis=1)) * 0.5
-            smx = (pltpu.roll(p, shift=1, axis=1) * (3.0 / 16.0)
-                   + p * (10.0 / 16.0)
-                   + pltpu.roll(p, shift=_GW - 1, axis=1) * (3.0 / 16.0))
-            iy = (smx[2:] - smx[:-2]) * 0.5                # row r -> p r+1
-            # out row q == p row q (corner-1 at out row 0, corner at 1);
-            # gradient row q == deriv at p row q == ix[q-1], so prepend one
-            # throwaway row (out row 0 of planes 1/2 is never consumed)
-            outp[k, 0] = p[:_PW_OUT, :128]
-            outp[k, 1] = jnp.concatenate(
-                [ix[:1], ix[:_PW_OUT - 1]], axis=0)[:, :128]
-            outp[k, 2] = jnp.concatenate(
-                [iy[:1], iy[:_PW_OUT - 1]], axis=0)[:, :128]
+            p0, p1, p2 = _prev_window_transform(
+                scr_p[slot, k], starts[4, idx], starts[6, idx])
+            outp[k, 0] = p0
+            outp[k, 1] = p1
+            outp[k, 2] = p2
             sw_copy(idx, slot, k).wait()
-            sw = pltpu.roll(scr_s[slot, k], shift=-starts[5, idx], axis=1)
-            sw = unroll_rows(sw, starts[5 + 2, idx])
-            outs[k] = sw[:_SW_OUT, :128]
+            outs[k] = _sw_window_transform(
+                scr_s[slot, k], starts[5, idx], starts[7, idx])
 
     def gather(starts: jnp.ndarray):
         np_ = starts.shape[1]
@@ -1457,6 +1475,128 @@ def make_point_window_gather(
                 jax.ShapeDtypeStruct((np_, 3, _PW_OUT, 128), jnp.float32),
                 jax.ShapeDtypeStruct((np_, _SW_OUT, 128), jnp.float32),
             ],
+        )(starts, prev_f, next_f)
+
+    return gather
+
+
+def make_frame_band_gather(
+    prev_f: jnp.ndarray,       # (FH, FW) folded prev frames (padded)
+    next_f: jnp.ndarray,       # (FH, FW) folded next frames (padded)
+    n_frames: int,
+    pts_per_frame: int,
+    frame_stride: int,         # rows per folded frame (fph + 2), PADDED abs
+):
+    """Per-FRAME band gather: same output contract as
+    make_point_window_gather, but one grid step per *frame* fetches that
+    frame's whole folded row band (prev + next) into VMEM with TWO DMAs
+    and extracts its points' windows with in-VMEM dynamic slices.
+
+    Motivation (scripts/exp_tracker_split.py, B=64 x 20 pts @860x482):
+    the per-point kernel's 2*16 DMAs per grid step are descriptor-issue
+    bound — the three levels' gathers cost 4.5 ms of the 5.7 ms tracker
+    while all compute after them is ~0.5 ms.  Here the DMA count drops
+    1280 x 2 -> 64 x 2 per level and the traffic becomes two sequential
+    full-band reads per frame, which HBM streams at line rate.
+
+    Requires points grouped frame-major (starts[:, f*ppf + k] belongs to
+    frame f — the batched tracker's natural layout) and every descriptor
+    row in-band: the caller guarantees corners clipped inside the frame
+    (sparse.py clips to the folded frame box).  starts layout identical
+    to make_point_window_gather; rows stay ABSOLUTE (the kernel subtracts
+    the band origin).
+    """
+    fh, fw = next_f.shape
+    assert prev_f.shape == (fh, fw), (prev_f.shape, next_f.shape)
+    assert fh % 8 == 0 and fw % 128 == 0, (fh, fw)
+    band_rows = -(-frame_stride // 8) * 8 + 64
+    assert fh >= 8 + (n_frames - 1) * frame_stride + band_rows, (
+        "folded array needs >= band slack below the last frame",
+        fh, n_frames, frame_stride, band_rows)
+
+    def kernel(starts, pv_hbm, nx_hbm, outp, outs, scr_p, scr_s, sems):
+        i = pl.program_id(0)
+        n_steps = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        oslot = 1 - slot
+
+        def band0(f):
+            # 8-floor of the frame's first padded row (+8 top pad)
+            return (8 + f * frame_stride) // 8 * 8
+
+        def issue(f, sl):
+            r0 = pl.multiple_of(band0(f), 8)
+            pltpu.make_async_copy(
+                pv_hbm.at[pl.ds(r0, band_rows), :], scr_p.at[sl],
+                sems.at[sl, 0]).start()
+            pltpu.make_async_copy(
+                nx_hbm.at[pl.ds(r0, band_rows), :], scr_s.at[sl],
+                sems.at[sl, 1]).start()
+
+        @pl.when(i == 0)
+        def _():
+            issue(i, slot)
+
+        @pl.when(i < n_steps - 1)
+        def _():
+            issue(i + 1, oslot)
+
+        b0 = band0(i)
+        pltpu.make_async_copy(
+            pv_hbm.at[pl.ds(pl.multiple_of(b0, 8), band_rows), :],
+            scr_p.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            nx_hbm.at[pl.ds(pl.multiple_of(b0, 8), band_rows), :],
+            scr_s.at[slot], sems.at[slot, 1]).wait()
+
+        for k in range(pts_per_frame):
+            idx = i * pts_per_frame + k
+            pr = pl.multiple_of(starts[0, idx] - b0, 8)
+            pc = pl.multiple_of(starts[1, idx], 128)
+            p = scr_p[slot, pl.ds(pr, _PW_ROWS), pl.ds(pc, _GW)]
+            p0, p1, p2 = _prev_window_transform(
+                p, starts[4, idx], starts[6, idx])
+            outp[k, 0] = p0
+            outp[k, 1] = p1
+            outp[k, 2] = p2
+            sr = pl.multiple_of(starts[2, idx] - b0, 8)
+            sc = pl.multiple_of(starts[3, idx], 128)
+            sw = scr_s[slot, pl.ds(sr, _SW_ROWS2), pl.ds(sc, _GW)]
+            outs[k] = _sw_window_transform(
+                sw, starts[5, idx], starts[7, idx])
+
+    def gather(starts: jnp.ndarray):
+        np_ = starts.shape[1]
+        assert np_ == n_frames * pts_per_frame, (np_, n_frames,
+                                                 pts_per_frame)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_frames,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((pts_per_frame, 3, _PW_OUT, 128),
+                                 lambda i, *_: (i, 0, 0, 0)),
+                    pl.BlockSpec((pts_per_frame, _SW_OUT, 128),
+                                 lambda i, *_: (i, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, band_rows, fw), jnp.float32),
+                    pltpu.VMEM((2, band_rows, fw), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((np_, 3, _PW_OUT, 128), jnp.float32),
+                jax.ShapeDtypeStruct((np_, _SW_OUT, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(starts, prev_f, next_f)
 
     return gather

@@ -275,8 +275,15 @@ _SW_ROWS = 32
 _SW_COLS = 48
 
 
+# Per-frame band gather (2 DMAs per frame) instead of per-point DMAs:
+# measured 4.5 ms -> sub-ms for the three levels' gathers at B=64 x 20 pts
+# (the per-point kernel is descriptor-issue bound; scripts/
+# exp_tracker_split.py).  Module switch so experiments can A/B the kernels.
+_USE_BAND_GATHER = True
+
+
 def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
-                           win_h, win_w, sw_h, sw_w):
+                           win_h, win_w, sw_h, sw_w, frame_info=None):
     """Fetch all per-point windows with one Pallas gather (LKConfig
     .pallas_windows): prev windows at (cy, cx) with Scharr ix/iy computed
     in-kernel, and (sw_h, sw_w) next superwindows at (syf, sxf) — same
@@ -287,19 +294,23 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     in-kernel, so the windows come back corner-aligned and slicing here is
     static (the 8 masked row taps per array this replaces cost
     ~0.65 ms/level at 1280 points)."""
-    from lk_tpu.flow.pallas_kernels import make_point_window_gather
+    from lk_tpu.flow.pallas_kernels import (make_frame_band_gather,
+                                            make_point_window_gather)
 
     # layout ceilings of the gather kernel's (40, 256) fetches and its
     # (24/32, 128) corner-aligned outputs
-    assert win_h <= 22 and win_w <= 126, (win_h, win_w)
+    assert win_h <= 22 and win_w <= 125, (win_h, win_w)
     assert sw_w <= 128 and sw_h <= 32, (sw_h, sw_w)
+    band = _USE_BAND_GATHER and frame_info is not None
     nn = cy.shape[0]
     fh, fw = next_f.shape
     # layout contract with the kernel: +8 rows on top (so the aligned-down
-    # minus-8 row start stays in bounds), +40 below; +128 cols left (the
-    # Scharr stencil reads corner-1 which may precede a 128 boundary) and
-    # enough right for a 256-wide slice at the last corner.
-    fhp = -(-fh // 8) * 8 + 48
+    # minus-8 row start stays in bounds), +40 below (+80 for the band
+    # kernel, whose fixed-height band fetch over the LAST frame reaches
+    # further); +128 cols left (the Scharr stencil reads corner-1 which may
+    # precede a 128 boundary) and enough right for a 256-wide slice at the
+    # last corner.
+    fhp = -(-fh // 8) * 8 + (80 if band else 48)
     fwp = -(-fw // 128) * 128 + 384
     pvp = jnp.pad(prev_f, ((8, fhp - fh - 8), (128, fwp - fw - 128)))
     nxp = jnp.pad(next_f, ((8, fhp - fh - 8), (128, fwp - fw - 128)))
@@ -312,7 +323,7 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     pc_al = ((cx_p - 1) // 128) * 128
     sr_al = (sy_p // 8) * 8
     sc_al = (sx_p // 128) * 128
-    nn_pad = -(-nn // 16) * 16
+    nn_pad = nn if band else -(-nn // 16) * 16
 
     def p16(a):
         return jnp.pad(a, (0, nn_pad - nn))
@@ -322,36 +333,77 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
         p16(cx_p - 1 - pc_al), p16(sx_p - sc_al),
         p16(cy_p - pr_al), p16(sy_p - sr_al),
     ]).astype(jnp.int32)
-    pw, sww = make_point_window_gather(pvp, nxp)(starts)
-    # corner at row 1 / col 0 of every pw plane; sw corner at row 0 / col 0
-    raw = pw[:nn, :, 1:1 + win_h + 1, :win_w + 1]
+    if band:
+        n_frames, frame_stride = frame_info
+        gather = make_frame_band_gather(
+            pvp, nxp, n_frames, nn // n_frames, frame_stride)
+    else:
+        gather = make_point_window_gather(pvp, nxp)
+    pw, sww = gather(starts)
+    # corner at row 1 / col 1 of every pw plane; sw corner at row 0 / col 0
+    raw = pw[:nn, :, 1:1 + win_h + 1, 1:win_w + 2]
     sw = sww[:nn, :sw_h, :sw_w]
     return raw, sw
 
 
-def fold_tracking_levels(imgs: jnp.ndarray, cfg: LKConfig = LKConfig()):
+# Extra level rows kept on each side of a tracker row band beyond the
+# caller's full-res band: covers the window fetch extent (~24 rows), the
+# superwindow fetch (~40) and mild coarse-to-fine estimate wander.  Points
+# whose fetches would leave the banded crop sample CLAMPED content — the
+# same deviation class as the superwindow clamp envelope; unreachable for
+# in-band points under tracked-motion flow (parity-tested).
+_BAND_MARGIN = 64
+
+
+def _level_row_bands(h0: int, cfg: LKConfig, row_band):
+    """Per-level (r0, r1) crops of a full-res tracker row band (or None)."""
+    if row_band is None:
+        return [None] * (cfg.max_level + 1)
+    r0, r1 = row_band
+    bands, h = [], h0
+    for lv in range(cfg.max_level + 1):
+        rr0 = max(0, (r0 >> lv) - _BAND_MARGIN)
+        rr1 = min(h, -(-r1 // (1 << lv)) + _BAND_MARGIN)
+        bands.append(None if (rr0 == 0 and rr1 >= h) else (rr0, rr1))
+        h = -(-h // 2)
+    return bands
+
+
+def fold_tracking_levels(imgs: jnp.ndarray, cfg: LKConfig = LKConfig(),
+                         row_band=None):
     """Pyramid + fold prep of a (B, H, W) frame batch for the batched
     tracker: per level, the B frames are reflect-padded (window pad + one
     guard row per frame seam) and folded along rows into one tall 2-D
     array.  Exposed so a video pipeline can CARRY the prepped form across
     steps — each frame batch is decimated and folded once, not twice (as
     next, then again as prev on the following frame; the two preps cost
-    ~1.6 ms of the 11.6 ms tracker call at B=64, 860x482)."""
+    ~1.6 ms of the 11.6 ms tracker call at B=64, 860x482).
+
+    row_band: optional (r0, r1) full-res row interval where the caller's
+    valid points live (e.g. the VP pipeline's ROI bounding box).  Each
+    level keeps only that band (+ _BAND_MARGIN level rows per side): the
+    frame-band gather kernel is HBM-bandwidth-bound on the fetched band
+    height, and the ROI covers ~15% of a dashcam frame.  The pyramid is
+    decimated BEFORE cropping, so level content equals the uncropped
+    build everywhere; the tracker must be given the same row_band."""
     b = imgs.shape[0]
     pad = max(cfg.win_size) + 2
     levels = [imgs.astype(jnp.float32)]
     for _ in range(cfg.max_level):
         levels.append(pyr_down(levels[-1], fast=cfg.fast_pyramid))
+    bands = _level_row_bands(imgs.shape[1], cfg, row_band)
 
-    def fold(x3):
+    def fold(x3, band):
         # one extra guard row above/below each frame: the 3x3 Scharr on the
         # folded image corrupts exactly one row at each frame seam, and the
         # guard keeps that row outside every window's reachable range
+        if band is not None:
+            x3 = x3[:, band[0]:band[1]]
         xp = jnp.pad(x3, ((0, 0), (pad + 1, pad + 1), (pad, pad)),
                      mode="reflect")
         return xp.reshape(b * xp.shape[1], xp.shape[2])
 
-    return tuple(fold(lv) for lv in levels)
+    return tuple(fold(lv, bd) for lv, bd in zip(levels, bands))
 
 
 def track_points_batched(
@@ -360,6 +412,7 @@ def track_points_batched(
     pts: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: LKConfig = LKConfig(),
+    row_band=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Track (B, N, 2) points across B same-size frame pairs in one call.
 
@@ -383,9 +436,9 @@ def track_points_batched(
     resamples the true image); unreachable in the tracked-motion regime
     (parity-tested against track_points).
     """
-    prev_folded = fold_tracking_levels(prev_imgs, cfg)
+    prev_folded = fold_tracking_levels(prev_imgs, cfg, row_band=row_band)
     p1, st, err, _ = track_points_batched_prepped(
-        prev_folded, next_imgs, pts, valid, cfg)
+        prev_folded, next_imgs, pts, valid, cfg, row_band=row_band)
     return p1, st, err
 
 
@@ -395,11 +448,25 @@ def track_points_batched_prepped(
     pts: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: LKConfig = LKConfig(),
+    row_band=None,
+    _stage: str | None = None,
 ):
     """track_points_batched with the PREV frames' prep carried in: takes
     ``fold_tracking_levels`` output for the prev batch, folds only the next
     batch, and additionally returns next's folded levels so a video loop
-    can pass them as the following step's ``prev_folded``."""
+    can pass them as the following step's ``prev_folded``.
+
+    row_band: the SAME (r0, r1) full-res interval prev_folded was built
+    with (see fold_tracking_levels) — valid points must lie inside it;
+    results for points outside sample clamped band content (the serving
+    pipeline's points always lie in the ROI band, and invalid slots are
+    masked by the caller).
+
+    ``_stage`` is a measurement-only ablation hook (scripts/
+    exp_tracker_split.py): "prep" | "gather" | "tensor" returns a scalar
+    summing exactly that stage's outputs (XLA dead-code-eliminates the
+    rest), so stage costs are timed on the REAL traced program rather
+    than a harness copy that can drift."""
     b, h0, w0 = next_imgs.shape
     n = pts.shape[1]
     nn = b * n
@@ -408,11 +475,19 @@ def track_points_batched_prepped(
     eps2 = jnp.float32(cfg.eps * cfg.eps)
     half_x = (win_w - 1) * 0.5
     half_y = (win_h - 1) * 0.5
+    bands = _level_row_bands(h0, cfg, row_band)
+    h_levels, _h = [], h0
+    for _ in range(cfg.max_level + 1):
+        h_levels.append(_h)
+        _h = -(-_h // 2)
 
-    next_folded = fold_tracking_levels(next_imgs, cfg)
+    next_folded = fold_tracking_levels(next_imgs, cfg, row_band=row_band)
     assert len(prev_folded) == cfg.max_level + 1
     assert prev_folded[0].shape == next_folded[0].shape, (
         prev_folded[0].shape, next_folded[0].shape)
+    if _stage == "prep":
+        return sum(jnp.sum(lv) for lv in next_folded)
+    stage_acc = jnp.float32(0.0)
 
     frame_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
     flat_pts = pts.reshape(nn, 2).astype(jnp.float32)
@@ -434,9 +509,17 @@ def track_points_batched_prepped(
             stack3 = jnp.stack([prev_f, ix_f, iy_f])
 
         # per-frame level dims from the folded geometry (see fold above):
-        # rows = b * (h + 2*(pad+1)), cols = w + 2*pad
+        # rows = b * (h + 2*(pad+1)), cols = w + 2*pad.  With a row band,
+        # the folded rows cover only the band crop: memory row coords are
+        # band-relative (r0 subtracted), while inside/status tests use the
+        # TRUE level height.
         h = prev_f.shape[0] // b - 2 * (pad + 1)
         w = prev_f.shape[1] - 2 * pad
+        band = bands[level]
+        r0 = 0 if band is None else band[0]
+        h_true = h_levels[level]
+        assert h == (h_true if band is None else band[1] - band[0]), (
+            "prev_folded was built with a different row_band", level, h)
         fph = h + 2 * pad
         fpw = w + 2 * pad
         base_y = frame_idx * (fph + 2) + 1
@@ -455,15 +538,16 @@ def track_points_batched_prepped(
         fx = (px - ipx).astype(jnp.float32)
         fy = (py - ipy).astype(jnp.float32)
         prev_inside = (
-            (ipx >= -win_w) & (ipx < w) & (ipy >= -win_h) & (ipy < h)
+            (ipx >= -win_w) & (ipx < w) & (ipy >= -win_h) & (ipy < h_true)
         )
         cx = jnp.clip(ipx.astype(jnp.int32) + pad, 0, fpw - win_w - 1)
-        cy = jnp.clip(ipy.astype(jnp.int32) + pad, 0, fph - win_h - 1) + base_y
+        cy = jnp.clip(ipy.astype(jnp.int32) - r0 + pad, 0, fph - win_h - 1
+                      ) + base_y
 
         # superwindow corner (needed up-front when the Pallas gather fetches
         # both window kinds in one kernel call; pure function of next_pt)
         sy = jnp.clip(
-            jnp.floor(next_pt[:, 1] - half_y).astype(jnp.int32) + pad
+            jnp.floor(next_pt[:, 1] - half_y).astype(jnp.int32) - r0 + pad
             - (sw_h - win_h - 1) // 2,
             0, fph - sw_h,
         )
@@ -476,7 +560,7 @@ def track_points_batched_prepped(
         if cfg.pallas_windows:
             raw, sw = _gather_windows_pallas(
                 prev_f, next_f, cy, cx, sy + base_y, sx,
-                win_h, win_w, sw_h, sw_w,
+                win_h, win_w, sw_h, sw_w, frame_info=(b, fph + 2),
             )
         else:
             raw = jax.vmap(
@@ -489,6 +573,9 @@ def track_points_batched_prepped(
                     next_f, (y, x), (sw_h, sw_w)
                 )
             )(sy + base_y, sx)
+        if _stage == "gather":
+            stage_acc = stage_acc + jnp.sum(raw) + jnp.sum(sw)
+            continue
         w00 = ((1.0 - fx) * (1.0 - fy))[:, None, None]
         w01 = (fx * (1.0 - fy))[:, None, None]
         w10 = ((1.0 - fx) * fy)[:, None, None]
@@ -511,6 +598,10 @@ def track_points_batched_prepped(
         ) / (2.0 * win_w * win_h)
         good_g = (min_eig >= cfg.min_eig_threshold * 1024.0) & (det > 1e-7)
         inv_det = jnp.where(det > 1e-7, 1.0 / det, 0.0)
+        if _stage == "tensor":
+            stage_acc = (stage_acc + jnp.sum(min_eig) + jnp.sum(inv_det)
+                         + jnp.sum(p_win) + jnp.sum(sw))
+            continue
         if level == 0:
             status = status & prev_inside & good_g
         do_refine = prev_inside & good_g
@@ -527,7 +618,7 @@ def track_points_batched_prepped(
             iqy = jnp.floor(qy)
             gx = (qx - iqx).astype(jnp.float32)
             gy = (qy - iqy).astype(jnp.float32)
-            dyi = jnp.clip(iqy.astype(jnp.int32) + pad - sy, 0, max_dy)
+            dyi = jnp.clip(iqy.astype(jnp.int32) - r0 + pad - sy, 0, max_dy)
             dxi = jnp.clip(iqx.astype(jnp.int32) + pad - sx, 0, max_dx)
             vert = jnp.zeros((nn, win_h, sw_w), jnp.float32)
             for d in range(max_dy + 2):
@@ -545,7 +636,7 @@ def track_points_batched_prepped(
             iqx = jnp.floor(q[:, 0] - half_x)
             iqy = jnp.floor(q[:, 1] - half_y)
             return ((iqx >= -win_w) & (iqx < w)
-                    & (iqy >= -win_h) & (iqy < h))
+                    & (iqy >= -win_h) & (iqy < h_true))
 
         def cond(carry):
             _, _, active, _, j = carry
@@ -589,6 +680,8 @@ def track_points_batched_prepped(
             j_win = sample_next(next_pt)
             err = jnp.mean(jnp.abs(j_win - p_win), axis=(1, 2))
 
+    if _stage is not None:
+        return stage_acc
     new_pts = jnp.where(flat_valid[:, None], next_pt, flat_pts)
     return (
         new_pts.reshape(b, n, 2),

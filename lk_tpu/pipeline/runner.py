@@ -159,10 +159,15 @@ def make_batched_chunk_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
 
     def run_chunk_b(states: PipelineState, frames: jnp.ndarray):
         from lk_tpu.flow.sparse import fold_tracking_levels
+        from lk_tpu.pipeline.step import tracker_row_band
 
         # seed the tracker-prep carry from the last chunk's final frame;
-        # inside the scan each frame batch is prepped exactly once
-        prev_folded = fold_tracking_levels(states.prev_gray, cfg.lk)
+        # inside the scan each frame batch is prepped exactly once (and,
+        # with track_row_band, cropped to the ROI's row band — the SAME
+        # band step_batched's tracker was built with)
+        prev_folded = fold_tracking_levels(
+            states.prev_gray, cfg.lk,
+            row_band=tracker_row_band(cfg, height, sub_masks))
         (states, _), outs = jax.lax.scan(
             step_batched, (states, prev_folded), jnp.swapaxes(frames, 0, 1)
         )

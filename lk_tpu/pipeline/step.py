@@ -77,6 +77,27 @@ def compact_slots(pts: jnp.ndarray, valid: jnp.ndarray):
     return pts[order], valid[order]
 
 
+def tracker_row_band(cfg: PipelineConfig, height: int, sub_masks):
+    """Full-res (r0, r1) row interval every VALID tracking point lives in,
+    or None when banding is off / the ROI is degenerate.
+
+    Valid points sit inside the ROI sub-masks: detection only places
+    corners there and check_inside culls escapees every frame (reference
+    LK_Final.py:537-541), so the batched tracker may crop its pyramid
+    levels to this band (flow.sparse.fold_tracking_levels row_band; the
+    per-level fetch/wander margins live there).  The 16-row slack covers
+    sub-pixel window centers straddling the mask edge."""
+    if not cfg.track_row_band:
+        return None
+    import numpy as _np
+
+    rows = _np.where((_np.asarray(sub_masks) > 0).any(0).any(1))[0]
+    if rows.size == 0:
+        return None
+    return (max(int(rows.min()) - 16, 0),
+            min(int(rows.max()) + 17, height))
+
+
 def make_step(
     cfg: PipelineConfig,
     frame_size: Tuple[int, int],
@@ -315,6 +336,7 @@ def make_step(
             prev_folded, grays,
             states.pts.reshape(b, g * s, 2),
             states.valid.reshape(b, g * s), cfg.lk,
+            row_band=tracker_row_band(cfg, height, sub_masks),
         )
         ctx = jax.vmap(_pre)(states, grays, p1, st)
         zeros = (

@@ -47,7 +47,8 @@ def main():
     prev = jnp.asarray((rng.random((B, H, W)) * 255).astype(np.float32))
     nxt = jnp.asarray((rng.random((B, H, W)) * 255).astype(np.float32))
     cfg = PipelineConfig()
-    lk = dataclasses.replace(cfg.lk, pallas_windows=True)
+    lk = dataclasses.replace(cfg.lk, pallas_windows=True,
+                             fast_pyramid=True)
     n = cfg.tp_num   # slots per stream
     pts = jnp.asarray(
         np.stack([rng.uniform((100, 300), (700, 420), (n, 2))

@@ -255,6 +255,52 @@ class TestPallasLocalWarp:
         np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(got[2]),
                                    atol=1e-5)
 
+    def test_band_gather_matches_point_gather(self, rng, monkeypatch):
+        """make_frame_band_gather (2 DMAs per frame, in-VMEM extraction)
+        == make_point_window_gather (per-point DMAs) bit-for-bit through
+        the batched tracker."""
+        from lk_tpu.config import LKConfig
+        from lk_tpu.flow import sparse
+        from lk_tpu.flow.sparse import track_points_batched
+
+        b, n, h, w = 3, 5, 88, 152
+        prev = (rng.random((b, h, w)) * 255).astype(np.float32)
+        nxt = np.roll(prev, (1, -2), axis=(1, 2))
+        pts = np.stack([rng.uniform(18, w - 18, (b, n)),
+                        rng.uniform(18, h - 18, (b, n))], -1).astype(
+            np.float32)
+        val = np.ones((b, n), bool)
+        args = (jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts),
+                jnp.asarray(val), LKConfig(pallas_windows=True))
+        monkeypatch.setattr(sparse, "_USE_BAND_GATHER", True)
+        band = track_points_batched(*args)
+        monkeypatch.setattr(sparse, "_USE_BAND_GATHER", False)
+        point = track_points_batched(*args)
+        for x, y in zip(band, point):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_row_band_tracker_parity(self, rng):
+        """track_points_batched with a row_band covering the points ==
+        unbanded, bit-for-bit (band-cropped levels + band-relative memory
+        coords; pipeline serving crops to the ROI row band)."""
+        from lk_tpu.config import LKConfig
+        from lk_tpu.flow.sparse import track_points_batched
+
+        b, n, h, w = 2, 6, 140, 160
+        prev = (rng.random((b, h, w)) * 255).astype(np.float32)
+        nxt = np.roll(prev, (2, -1), axis=(1, 2))
+        # points confined to a mid-frame row band (the ROI situation)
+        pts = np.stack([rng.uniform(20, w - 20, (b, n)),
+                        rng.uniform(60, 86, (b, n))], -1).astype(np.float32)
+        val = np.ones((b, n), bool)
+        args = (jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts),
+                jnp.asarray(val))
+        for lk in (LKConfig(pallas_windows=True), LKConfig()):
+            ref = track_points_batched(*args, lk)
+            banded = track_points_batched(*args, lk, row_band=(58, 88))
+            for x, y in zip(banded, ref):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_residual_clamp_behavior(self, rng):
         """Flow deviating more than `local` from the tile reference clamps."""
         h, w = 16, 384
