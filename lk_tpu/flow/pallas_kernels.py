@@ -1509,7 +1509,12 @@ def make_frame_band_gather(
     fh, fw = next_f.shape
     assert prev_f.shape == (fh, fw), (prev_f.shape, next_f.shape)
     assert fh % 8 == 0 and fw % 128 == 0, (fh, fw)
-    band_rows = -(-frame_stride // 8) * 8 + 64
+    # rows above the band origin any descriptor's fetch can reach: prev
+    # corners are clipped to fph - win_h - 1 (win_h >= 1) and fetch 32
+    # rows, superwindow corners to fph - sw_h (sw_h = min(32, fph)) and
+    # fetch 40; both end <= frame_base + stride + 28, and the 8-floor
+    # band origin sits at most 7 rows above frame_base.
+    band_rows = -(-(frame_stride + 36) // 8) * 8
     assert fh >= 8 + (n_frames - 1) * frame_stride + band_rows, (
         "folded array needs >= band slack below the last frame",
         fh, n_frames, frame_stride, band_rows)

@@ -310,8 +310,11 @@ def _gather_windows_pallas(prev_f, next_f, cy, cx, syf, sxf,
     # further); +128 cols left (the Scharr stencil reads corner-1 which may
     # precede a 128 boundary) and enough right for a 256-wide slice at the
     # last corner.
-    fhp = -(-fh // 8) * 8 + (80 if band else 48)
-    fwp = -(-fw // 128) * 128 + 384
+    fhp = -(-fh // 8) * 8 + (56 if band else 48)
+    # width = the last possible 256-wide fetch end: corners are clipped to
+    # fw - win_w - 1 (prev) / fw - sw_w (superwindow), so the rightmost
+    # 128-aligned fetch start is floor128(128 + fw - win_w - 2)
+    fwp = (128 + fw - win_w - 2) // 128 * 128 + 256
     pvp = jnp.pad(prev_f, ((8, fhp - fh - 8), (128, fwp - fw - 128)))
     nxp = jnp.pad(next_f, ((8, fhp - fh - 8), (128, fwp - fw - 128)))
 
@@ -397,10 +400,18 @@ def fold_tracking_levels(imgs: jnp.ndarray, cfg: LKConfig = LKConfig(),
         # one extra guard row above/below each frame: the 3x3 Scharr on the
         # folded image corrupts exactly one row at each frame seam, and the
         # guard keeps that row outside every window's reachable range
-        if band is not None:
-            x3 = x3[:, band[0]:band[1]]
-        xp = jnp.pad(x3, ((0, 0), (pad + 1, pad + 1), (pad, pad)),
-                     mode="reflect")
+        if band is not None and band[0] >= pad + 1 \
+                and band[1] + pad + 1 <= x3.shape[1]:
+            # interior band: take the row pad from the TRUE frame (one
+            # contiguous slice) instead of reflecting at the crop edge —
+            # cheaper, and more faithful where it is reachable at all
+            x3 = x3[:, band[0] - pad - 1:band[1] + pad + 1]
+            xp = jnp.pad(x3, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+        else:
+            if band is not None:
+                x3 = x3[:, band[0]:band[1]]
+            xp = jnp.pad(x3, ((0, 0), (pad + 1, pad + 1), (pad, pad)),
+                         mode="reflect")
         return xp.reshape(b * xp.shape[1], xp.shape[2])
 
     return tuple(fold(lv, bd) for lv, bd in zip(levels, bands))

@@ -88,9 +88,22 @@ def main():
 
     nbytes = sum(x.nbytes for o in server._pending
                  for x in jax.tree_util.tree_leaves(o))
+    orig_get = jax.device_get
+    fetch_t = [0.0]
+
+    def timed_get(x):
+        tg = time.time()
+        r = orig_get(x)
+        fetch_t[0] += time.time() - tg
+        return r
+
+    jax.device_get = timed_get
     t0 = time.time()
     server.drain()
     t_drain = time.time() - t0
+    jax.device_get = orig_get
+    print(f"  drain split: device_get {fetch_t[0]:.2f}s, "
+          f"host bookkeeping {t_drain - fetch_t[0]:.2f}s")
 
     total = server.frames_done
     print(f"feed+compute wall: {t_feed:.2f}s   drain wall: {t_drain:.2f}s")
