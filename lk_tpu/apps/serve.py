@@ -51,6 +51,10 @@ def main(argv=None):
                         "under the axon tunnel (~36 MB/s host->device) this "
                         "measures the tunnel, not the chip; on a real TPU "
                         "host (PCIe) it is the production serving mode")
+    p.add_argument("--out-cap", type=int, default=48,
+                   help="per-frame average budget for the device-side "
+                        "output-row compaction (PipelineConfig.out_cap); "
+                        "0 transports the full 190-slot padding")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
     enable_compilation_cache()
@@ -64,7 +68,7 @@ def main(argv=None):
     # readback, 58% of the B=64 serving wall (BENCH_NOTES.md).  48/frame
     # avg per 16-frame chunk = 768-row budget vs measured p99 ~100 peaks
     # on single frames, mean ~14.
-    cfg = dataclasses.replace(PipelineConfig(), out_cap=48)
+    cfg = dataclasses.replace(PipelineConfig(), out_cap=args.out_cap)
     if jax.default_backend() != "cpu":
         # Pallas window gather for the batched tracker (TPU-only Mosaic
         # kernel; the vmapped dynamic_slice path stays for CPU/tests) +
