@@ -31,6 +31,9 @@ def main(argv=None):
     parser = build_parser(__doc__)
     parser.add_argument("--dist-png", default="./distribution.png")
     parser.add_argument("--freq-png", default="./frequency.png")
+    parser.add_argument("--hough-png", default="./hough.png")
+    parser.add_argument("--hough-k", type=int, default=4,
+                        help="dominant road lines to extract")
     args = parser.parse_args(argv)
     enable_compilation_cache()
 
@@ -57,6 +60,7 @@ def main(argv=None):
                                           h, w))
 
     lengths, angles = [], []
+    seg_old, seg_new = [], []
 
     def on_outputs(outs):
         old = np.asarray(outs.old_pts)
@@ -70,6 +74,8 @@ def main(argv=None):
             # zero-length ones (LK2_road_line_detection.py:214-216).
             lengths.extend(np.asarray(st.length)[m[k]].tolist())
             angles.extend(np.asarray(st.angle)[m[k]].tolist())
+            seg_old.append(old[k][m[k]])
+            seg_new.append(new_[k][m[k]])
 
     from lk_tpu.pipeline.tracker import run_tracker_frames
 
@@ -80,9 +86,31 @@ def main(argv=None):
     if not args.quiet:
         print(f"frames: {n}  segments: {len(lengths)}")
     _plots(lengths, args.dist_png, args.freq_png)
+
+    # Hough-style voting over every recorded segment (moving ones vote;
+    # zero-length segments have no line) — the dominant road-line
+    # parameters for the run, lk_tpu.geometry.hough.
+    hough = None
+    if seg_old:
+        from lk_tpu.geometry.hough import hough_road_lines
+
+        old_all = np.concatenate(seg_old, axis=0).astype(np.float32)
+        new_all = np.concatenate(seg_new, axis=0).astype(np.float32)
+        moving = (old_all != new_all).any(axis=1)
+        hough = hough_road_lines(
+            jnp.asarray(old_all), jnp.asarray(new_all), jnp.asarray(moving),
+            (w, h), k=args.hough_k)
+        _hough_plot(hough, (w, h), args.hough_png)
+        if not args.quiet:
+            for t, r, v in zip(np.asarray(hough.theta),
+                               np.asarray(hough.rho),
+                               np.asarray(hough.votes)):
+                if v > 0:
+                    print(f"road line: theta={np.degrees(t):6.1f}deg "
+                          f"rho={r:8.1f}px votes={v:.0f}")
     if not args.quiet:
-        print(f"plots: {args.dist_png} {args.freq_png}")
-    return lengths, angles
+        print(f"plots: {args.dist_png} {args.freq_png} {args.hough_png}")
+    return lengths, angles, hough
 
 
 def _plots(lengths, dist_png, freq_png):
@@ -105,6 +133,30 @@ def _plots(lengths, dist_png, freq_png):
     plt.ylabel("count")
     plt.hist(lengths, bins=100)
     plt.savefig(freq_png)
+    plt.close()
+
+
+def _hough_plot(hough, image_size, png):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    w, h = image_size
+    acc = np.asarray(hough.accumulator)
+    rho_max = float(np.hypot(w, h))
+    plt.figure(figsize=(12, 8), dpi=80)
+    plt.title("Hough road-line votes (length-weighted)")
+    plt.xlabel("rho (px)")
+    plt.ylabel("theta (deg)")
+    plt.imshow(acc, aspect="auto", origin="lower",
+               extent=[-rho_max, rho_max, 0, 180], cmap="magma")
+    plt.colorbar(label="votes")
+    for t, r, v in zip(np.asarray(hough.theta), np.asarray(hough.rho),
+                       np.asarray(hough.votes)):
+        if v > 0:
+            plt.plot(r, np.degrees(t), "c+", markersize=14)
+    plt.savefig(png)
     plt.close()
 
 

@@ -9,3 +9,10 @@ from lk_tpu.geometry.vanishing import (  # noqa: F401
     vp_show_step,
     vanishing_lines,
 )
+from lk_tpu.geometry.hough import (  # noqa: F401
+    HoughResult,
+    hough_peaks,
+    hough_road_lines,
+    hough_vote,
+    segment_line_params,
+)

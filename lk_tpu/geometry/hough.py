@@ -1,0 +1,154 @@
+"""Hough-style road-line voting over accepted flow segments.
+
+The reference's road-line stage only accumulates per-segment length/angle
+stats (reference LK2_road_line_detection.py:214-216) and plots their
+distribution (LK2:274-294); the BASELINE north-star narrative names
+"Hough-style voting" as the production capability for the same stage.
+This module provides it TPU-natively: every accepted flow segment votes
+for the infinite line it lies on in a (theta, rho) parameter grid, and the
+whole accumulation is ONE masked matmul — no scatters, no data-dependent
+control flow, so it runs on the MXU and batches over any number of
+segments.
+
+Parameterization (classic normal form): a line is
+``x*cos(theta) + y*sin(theta) = rho`` with ``theta in [0, pi)`` the normal
+direction and ``rho in [-rho_max, rho_max]`` the signed distance from the
+origin (image coordinates, y down; rho_max = hypot(W, H)).  A segment with
+direction d votes for theta = angle(d) + 90deg (mod pi), rho from its
+midpoint.
+
+Votes are length-weighted by default: long coherent lane segments should
+dominate short tracking jitter, which is also what the reference's
+length-EMA accept filter selects for.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+class HoughResult(NamedTuple):
+    accumulator: jnp.ndarray  # (n_theta, n_rho) float32 votes
+    theta: jnp.ndarray        # (k,) radians in [0, pi) — peak lines
+    rho: jnp.ndarray          # (k,) signed px distance from origin
+    votes: jnp.ndarray        # (k,) peak vote mass (<=0 marks empty slots)
+
+
+def segment_line_params(
+    start: jnp.ndarray, stop: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(theta, rho) of the infinite line through each (N, 2) segment.
+
+    theta in [0, pi); rho signed.  Zero-length segments get theta=0 and
+    rho=x — callers mask them out (FlowLineStats.moving already does).
+    """
+    d = stop - start
+    # normal angle: segment direction rotated 90deg, folded into [0, pi)
+    theta = jnp.mod(jnp.arctan2(d[..., 1], d[..., 0]) + jnp.pi / 2, jnp.pi)
+    mid = 0.5 * (start + stop)
+    rho = mid[..., 0] * jnp.cos(theta) + mid[..., 1] * jnp.sin(theta)
+    return theta, rho
+
+
+def hough_vote(
+    start: jnp.ndarray,
+    stop: jnp.ndarray,
+    mask: jnp.ndarray,
+    image_size: Tuple[int, int],
+    n_theta: int = 180,
+    n_rho: int = 256,
+    length_weighted: bool = True,
+) -> jnp.ndarray:
+    """Accumulate (N,) masked segments into an (n_theta, n_rho) vote grid.
+
+    The accumulation is ``onehot(theta_bins).T @ weighted_onehot(rho_bins)``
+    — a single (n_theta, N) x (N, n_rho) matmul, the scatter-free 2-D
+    histogram form that tiles onto the MXU.  rho votes are bilinearly
+    split between the two nearest bins so peak positions are stable under
+    sub-bin jitter; theta uses nearest-bin (the theta->rho coupling at the
+    0/pi wrap flips rho's sign, so spreading theta across the wrap would
+    need a paired rho flip for no measurable gain at 1-degree bins).
+    """
+    w, h = image_size
+    rho_max = math.hypot(float(w), float(h))
+    theta, rho = segment_line_params(start, stop)
+    weight = jnp.where(mask, 1.0, 0.0).astype(jnp.float32)
+    if length_weighted:
+        weight = weight * jnp.linalg.norm(stop - start, axis=-1)
+
+    t_idx = jnp.clip(
+        jnp.round(theta / jnp.pi * n_theta).astype(jnp.int32), 0, n_theta
+    ) % n_theta  # round can hit n_theta at the wrap — same line as bin 0
+    t_hot = jax.nn.one_hot(t_idx, n_theta, dtype=jnp.float32)
+
+    r_pos = (rho + rho_max) / (2.0 * rho_max) * (n_rho - 1)
+    r_pos = jnp.clip(r_pos, 0.0, float(n_rho - 1))
+    r_lo = jnp.floor(r_pos).astype(jnp.int32)
+    frac = r_pos - r_lo
+    r_hot = (
+        jax.nn.one_hot(r_lo, n_rho, dtype=jnp.float32) * (1.0 - frac)[:, None]
+        + jax.nn.one_hot(jnp.minimum(r_lo + 1, n_rho - 1), n_rho,
+                         dtype=jnp.float32) * frac[:, None]
+    )
+    return jnp.einsum(
+        "nt,nr->tr", t_hot * weight[:, None], r_hot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def hough_peaks(
+    acc: jnp.ndarray,
+    k: int = 4,
+    image_size: Tuple[int, int] = (1, 1),
+    suppress_theta: int = 8,
+    suppress_rho: int = 12,
+) -> HoughResult:
+    """Top-k accumulator peaks with greedy non-max suppression.
+
+    k is static and small (dominant road lines), so the greedy loop is a
+    k-step ``lax.scan`` masking a suppression window around each peak;
+    theta distance wraps (bin 0 and bin n_theta-1 are neighbors).
+    """
+    n_theta, n_rho = acc.shape
+    w, h = image_size
+    rho_max = math.hypot(float(w), float(h))
+    ti = jnp.arange(n_theta)
+    ri = jnp.arange(n_rho)
+
+    def body(grid, _):
+        flat = jnp.argmax(grid)
+        t, r = flat // n_rho, flat % n_rho
+        val = grid[t, r]
+        dt = jnp.minimum((ti - t) % n_theta, (t - ti) % n_theta)
+        win = (dt[:, None] <= suppress_theta) & (
+            jnp.abs(ri[None, :] - r) <= suppress_rho
+        )
+        return jnp.where(win, -jnp.inf, grid), (t, r, val)
+
+    _, (ts, rs, vals) = jax.lax.scan(body, acc, None, length=k)
+    theta = ts.astype(jnp.float32) * (jnp.pi / n_theta)
+    rho = rs.astype(jnp.float32) / (n_rho - 1) * (2.0 * rho_max) - rho_max
+    return HoughResult(accumulator=acc, theta=theta, rho=rho, votes=vals)
+
+
+def hough_road_lines(
+    start: jnp.ndarray,
+    stop: jnp.ndarray,
+    mask: jnp.ndarray,
+    image_size: Tuple[int, int],
+    k: int = 4,
+    n_theta: int = 180,
+    n_rho: int = 256,
+    length_weighted: bool = True,
+) -> HoughResult:
+    """Vote + peak-extract in one jittable call (the app-facing entry)."""
+    acc = hough_vote(start, stop, mask, image_size, n_theta, n_rho,
+                     length_weighted)
+    return hough_peaks(acc, k, image_size,
+                       suppress_theta=max(n_theta // 24, 2),
+                       suppress_rho=max(n_rho // 24, 2))

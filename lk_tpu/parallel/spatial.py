@@ -1,15 +1,40 @@
 """Spatial (row-sharded) dense LK with halo exchange — the SP/CP analogue.
 
 For frames too large for one chip (or to cut per-frame latency), rows are
-sharded over the ``spatial`` mesh axis.  Every stencil op in the dense LK
-level needs neighbor rows: Scharr (2), the box window (win_h//2 + 1), and
-the vertical warp displacement bound (max_disp).  One halo exchange of
-``halo = max_disp + win_h//2 + 4`` rows per iteration round-trip suffices;
-halos move over ICI with jax.lax.ppermute inside shard_map (SURVEY.md §2.5,
-§5.7).
+sharded over the ``spatial`` mesh axis; halos move over ICI with
+jax.lax.ppermute inside shard_map (SURVEY.md §2.5, §5.7).
+
+Halo envelope (documented because it is the correctness contract):
+
+* One iteration of a dense LK level at pixel p reads image data within
+  ``win_h//2 + max_disp + 2`` rows (window + warp reach + bilinear/interp
+  margin) and — through the coherence box sums ``box[gI*(D - gI.v)]``
+  (flow.dense.dense_lk_level body) — the *flow* of neighbors within
+  ``win_h//2`` rows.
+* Flow values in the exchanged halo band are computed from edge-truncated
+  data, so their error front propagates inward ``win_h//2`` rows per
+  additional iteration.  A single exchange therefore needs
+  ``halo = max_disp + win_h//2 + 4 + (n_iters - 1) * (win_h//2)``
+  to keep every interior row exact for the full iteration count; the
+  previous revision sized the halo for ONE iteration and was only safe
+  because flow near seams stayed small.
+* ``exchange_per_iter=True`` instead re-exchanges a one-iteration halo
+  (``max_disp + win_h//2 + 4``) before every outer iteration — n_iters
+  ppermute rounds instead of one, for (n_iters-1)*win_h//2 fewer halo rows
+  of redundant compute.  Numerics caveat: the per-pixel eps early-stop
+  (``active``) resets each round, so pixels keep receiving ~eps-sized
+  updates after convergence — parity vs the single-exchange program is
+  within ~0.1 px on scattered pixels (measured 0.066 max over 43k at the
+  displacement bound), not bitwise.
+
+Both variants are pinned against the single-device level at the
+displacement bound (flow == max_disp crossing a shard seam) in
+tests/test_parallel.py.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -44,30 +69,66 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([top_halo, x, bot_halo], axis=0)
 
 
+def _iteration_halo(cfg: LKConfig, max_disp: int) -> int:
+    """Rows one outer iteration can reach: window + warp + interp margin."""
+    return max_disp + cfg.win_size[1] // 2 + 4
+
+
 def spatial_dense_lk_level(
     mesh: Mesh,
     cfg: LKConfig = LKConfig(),
     dense_cfg: DenseLKConfig = DenseLKConfig(),
     max_disp: int = 8,
     axis_name: str = "spatial",
+    exchange_per_iter: bool = False,
 ):
     """Build a row-sharded dense LK level: (H, W) sharded on rows -> flow.
 
     Returns f(prev, next, flow_init) with all arrays sharded
     P(axis_name, None) on rows; flow_init (H, W, 2) sharded the same.
+    Interior rows match the single-device level for |flow| <= max_disp
+    (see the module docstring for the halo envelope).
     """
     win_h = cfg.win_size[1]
-    halo = max_disp + win_h // 2 + 4
+    base = _iteration_halo(cfg, max_disp)
+    n_iters = dense_cfg.outer_iters
 
-    def local_fn(prev, nxt, flow):
-        prev_h = halo_exchange(prev, halo, axis_name)
-        next_h = halo_exchange(nxt, halo, axis_name)
-        fx = halo_exchange(flow[..., 0], halo, axis_name)
-        fy = halo_exchange(flow[..., 1], halo, axis_name)
-        flow_h = jnp.stack([fx, fy], axis=-1)
-        res = dense_lk_level(prev_h, next_h, flow_h, cfg, dense_cfg,
+    def run_level(prev_h, next_h, flow_h, halo, dcfg):
+        res = dense_lk_level(prev_h, next_h, flow_h, cfg, dcfg,
                              max_disp=max_disp)
         return res.flow[halo:-halo]
+
+    if exchange_per_iter:
+        one_iter = dataclasses.replace(dense_cfg, outer_iters=1,
+                                       iter_schedule=())
+
+        def local_fn(prev, nxt, flow):
+            # frames don't change across iterations: exchange them once,
+            # only the evolving flow re-exchanges inside the loop
+            prev_h = halo_exchange(prev, base, axis_name)
+            next_h = halo_exchange(nxt, base, axis_name)
+
+            def body(_, f):
+                fx = halo_exchange(f[..., 0], base, axis_name)
+                fy = halo_exchange(f[..., 1], base, axis_name)
+                return run_level(prev_h, next_h,
+                                 jnp.stack([fx, fy], axis=-1),
+                                 base, one_iter)
+
+            return jax.lax.fori_loop(0, n_iters, body, flow)
+    else:
+        # single exchange sized for the full iteration count: the flow
+        # coupling in the box sums moves the halo's stale front inward
+        # win_h//2 rows per iteration after the first
+        halo = base + (n_iters - 1) * (win_h // 2)
+
+        def local_fn(prev, nxt, flow):
+            prev_h = halo_exchange(prev, halo, axis_name)
+            next_h = halo_exchange(nxt, halo, axis_name)
+            fx = halo_exchange(flow[..., 0], halo, axis_name)
+            fy = halo_exchange(flow[..., 1], halo, axis_name)
+            flow_h = jnp.stack([fx, fy], axis=-1)
+            return run_level(prev_h, next_h, flow_h, halo, dense_cfg)
 
     spec = P(axis_name, None)
     spec3 = P(axis_name, None, None)

@@ -8,6 +8,7 @@ scripts/exp_row_counts.py).  Alternating reps in one process so the ±30%
 cross-process serve drift cancels.
 """
 import os
+import statistics
 import sys
 import time
 
@@ -36,10 +37,12 @@ REPS = int(os.environ.get("REPS", "3"))
 
 
 def make_cfg(cap):
+    # Mosaic-only paths, like serve.py: fall back on the CPU/test backend.
+    on_tpu = jax.default_backend() != "cpu"
     cfg = dataclasses.replace(PipelineConfig(), out_cap=cap)
     return dataclasses.replace(
-        cfg, lk=dataclasses.replace(cfg.lk, pallas_windows=True,
-                                    fast_pyramid=True))
+        cfg, lk=dataclasses.replace(cfg.lk, pallas_windows=on_tpu,
+                                    fast_pyramid=on_tpu))
 
 
 def run_once(cfg, grays):
@@ -78,20 +81,34 @@ def main():
 
     cfgs = {c: make_cfg(c) for c in CAPS}
     for c in CAPS:                      # compile + warm untimed
-        fps, srv = run_once(cfgs[c], grays)
+        try:
+            fps, srv = run_once(cfgs[c], grays)
+        except RuntimeError as e:       # overflow kills only this cap
+            print(f"warm cap={c}: OVERFLOW ({e})", flush=True)
+            continue
         rows = sum(len(p.csv_rows) for p in srv.pipes)
         print(f"warm cap={c}: {fps:.0f} fps ({rows} csv rows)", flush=True)
 
     results = {c: [] for c in CAPS}
+    overflows = {c: 0 for c in CAPS}
     for r in range(REPS):
         for c in CAPS:                  # alternate so drift hits both
-            fps, _ = run_once(cfgs[c], grays)
+            try:
+                fps, _ = run_once(cfgs[c], grays)
+            except RuntimeError as e:   # compaction overflow on a low cap
+                overflows[c] += 1
+                print(f"rep {r} cap={c}: OVERFLOW ({e})", flush=True)
+                continue
             results[c].append(fps)
             print(f"rep {r} cap={c}: {fps:.0f} fps", flush=True)
     for c in CAPS:
-        med = sorted(results[c])[len(results[c]) // 2]
+        if not results[c]:
+            print(f"cap={c}: all {overflows[c]} reps overflowed")
+            continue
+        med = statistics.median(results[c])
+        note = f" ({overflows[c]} overflowed reps)" if overflows[c] else ""
         print(f"cap={c}: median {med:.0f} fps = "
-              f"{med / 30:.1f} x 30fps streams/chip  {results[c]}")
+              f"{med / 30:.1f} x 30fps streams/chip  {results[c]}{note}")
 
 
 if __name__ == "__main__":

@@ -38,10 +38,13 @@ def test_roadlines_app(tmp_path):
 
     d = str(tmp_path / "d.png")
     f = str(tmp_path / "f.png")
-    lengths, angles = roadlines.main(
+    hg = str(tmp_path / "h.png")
+    lengths, angles, hough = roadlines.main(
         ["--synthetic", "--frames", "8", "--chunk", "4",
-         "--dist-png", d, "--freq-png", f, "--quiet"])
+         "--dist-png", d, "--freq-png", f, "--hough-png", hg, "--quiet"])
     assert os.path.exists(d) and os.path.exists(f)
+    if lengths:  # any segment recorded -> the Hough stage ran and plotted
+        assert hough is not None and os.path.exists(hg)
 
 
 def test_csv_matches_reference_artifact_format(tmp_path):

@@ -157,3 +157,73 @@ def test_vp_hide_resets(rng):
     state, rows = _run_device_frames(cfg, frames)
     assert not bool(state.vp_init)  # hidden by the end
     assert len(rows) == len(oracle.csv_rows)
+
+
+# --- Hough-style road-line voting (lk_tpu.geometry.hough) -------------------
+
+def _lane_segments(rng, theta_deg, rho, n, image_size, jitter=1.0):
+    """n short segments lying on x*cos(t) + y*sin(t) = rho, +-jitter px."""
+    w, h = image_size
+    t = np.radians(theta_deg)
+    nrm = np.array([np.cos(t), np.sin(t)])
+    d = np.array([-np.sin(t), np.cos(t)])      # along-line direction
+    # anchor: closest point on the line to the origin
+    base = rho * nrm
+    s = rng.uniform(-0.4, 0.4, n) * min(w, h)  # along-line positions
+    seglen = rng.uniform(8.0, 30.0, n)
+    perp = rng.uniform(-jitter, jitter, n)
+    starts = base + s[:, None] * d + perp[:, None] * nrm
+    stops = starts + seglen[:, None] * d
+    return starts.astype(np.float32), stops.astype(np.float32)
+
+
+def test_hough_recovers_two_lane_scene(rng):
+    from lk_tpu.geometry import hough_road_lines, segment_line_params
+
+    size = (W, H)
+    # two lanes converging toward the VP, plus uniform clutter
+    lanes = [(135.0, 80.0), (45.0, 560.0)]    # (theta deg, rho px)
+    starts, stops = [], []
+    for t, r in lanes:
+        a, b = _lane_segments(rng, t, r, 60, size)
+        starts.append(a)
+        stops.append(b)
+    ca = rng.uniform(0, [W, H], (40, 2)).astype(np.float32)
+    cb = ca + rng.uniform(-20, 20, (40, 2)).astype(np.float32)
+    starts.append(ca)
+    stops.append(cb)
+    starts = np.concatenate(starts)
+    stops = np.concatenate(stops)
+    mask = np.ones(len(starts), bool)
+
+    res = jax.jit(
+        lambda a, b, m: hough_road_lines(a, b, m, size, k=2)
+    )(jnp.asarray(starts), jnp.asarray(stops), jnp.asarray(mask))
+
+    got = sorted(zip(np.degrees(np.asarray(res.theta)),
+                     np.asarray(res.rho)))
+    want = sorted(lanes)
+    rho_bin = 2 * np.hypot(*size) / 255
+    for (gt, gr), (wt, wr) in zip(got, want):
+        assert abs(gt - wt) <= 2.0, (got, want)       # within 2 theta bins
+        assert abs(gr - wr) <= 2 * rho_bin, (got, want)
+
+    # masked segments must not vote
+    from lk_tpu.geometry import hough_vote
+
+    acc_all = hough_vote(jnp.asarray(starts), jnp.asarray(stops),
+                         jnp.asarray(mask), size)
+    half = mask.copy()
+    half[: len(half) // 2] = False
+    acc_half = hough_vote(jnp.asarray(starts), jnp.asarray(stops),
+                          jnp.asarray(half), size)
+    assert float(acc_half.sum()) < float(acc_all.sum())
+    # vote mass == sum of masked segment lengths (length-weighted)
+    seglens = np.linalg.norm(stops - starts, axis=1)
+    np.testing.assert_allclose(float(acc_all.sum()), seglens.sum(), rtol=1e-5)
+
+    # param extraction round-trips: a segment ON a known line maps back
+    th, rh = segment_line_params(jnp.asarray(starts[:60]),
+                                 jnp.asarray(stops[:60]))
+    np.testing.assert_allclose(np.degrees(np.asarray(th)), 135.0, atol=0.2)
+    np.testing.assert_allclose(np.asarray(rh), 80.0, atol=1.5)

@@ -120,3 +120,48 @@ def test_gspmd_auto_sharded_pyramidal(mesh, rng):
         dense_pyramidal_lk(jnp.asarray(img), jnp.asarray(nxt)).flow
     )
     np.testing.assert_allclose(flow, ref, atol=5e-3)  # fp reduction-order noise
+
+
+def test_spatial_seam_at_displacement_bound(mesh, rng):
+    """Flow at the max_disp bound CROSSING the shard seam: the halo envelope
+    must cover every outer iteration, not just the first (the coherence box
+    sums couple neighbor flows win//2 rows per iteration — see
+    parallel/spatial.py module docstring)."""
+    import cv2 as cv
+
+    h, w = 128, 256  # 2 row shards of 64 -> seam at row 64
+    img = (rng.random((h, w)) * 255).astype(np.float32)
+    img = cv.GaussianBlur(img, (0, 0), 4.0)
+    dy = 7.5  # just under max_disp=8, uniform over the seam
+    m = np.float32([[1, 0, 0.0], [0, 1, dy]])
+    nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                        borderMode=cv.BORDER_REFLECT_101)
+    # coarse-level init 1.5 px from truth (the pyramid handoff regime)
+    flow0 = jnp.tile(jnp.asarray([0.0, 6.0], jnp.float32), (h, w, 1))
+
+    single = dense_lk_level(jnp.asarray(img), jnp.asarray(nxt), flow0,
+                            LKConfig(), DenseLKConfig(), max_disp=8).flow
+    sgl = np.asarray(single)
+    # the scenario is real: converged flow ~= the bound, including at seam
+    assert abs(sgl[48:80, 32:-32, 1].mean() - dy) < 0.3
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh2 = NamedSharding(mesh, P("spatial", None))
+    sh3 = NamedSharding(mesh, P("spatial", None, None))
+    prev_s = jax.device_put(jnp.asarray(img), sh2)
+    next_s = jax.device_put(jnp.asarray(nxt), sh2)
+    flow_s = jax.device_put(flow0, sh3)
+
+    # per-iter exchange restarts the eps early-stop each round (documented
+    # in parallel/spatial.py): ~0.07 px extra refinement on scattered pixels
+    for per_iter, atol in ((False, 1e-2), (True, 1e-1)):
+        fn = spatial_dense_lk_level(
+            mesh, LKConfig(), DenseLKConfig(), max_disp=8,
+            exchange_per_iter=per_iter)
+        sharded = np.asarray(jax.jit(fn)(prev_s, next_s, flow_s))
+        # interior rows (window-truncation belts at the outer frame edges
+        # excluded); the seam rows 48..80 are all interior here
+        np.testing.assert_allclose(
+            sgl[16:-16, 16:-16], sharded[16:-16, 16:-16],
+            atol=atol, err_msg=f"exchange_per_iter={per_iter}")
