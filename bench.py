@@ -57,7 +57,7 @@ def measure_tunnel_s() -> float:
     return sorted(reps)[len(reps) // 2]
 
 
-def _scene(rng, h, w, dx, dy):
+def _texture(rng, h, w):
     import cv2 as cv
 
     img = rng.random((h, w)).astype(np.float32) * 255
@@ -65,23 +65,44 @@ def _scene(rng, h, w, dx, dy):
     img += cv.GaussianBlur(
         rng.random((h, w)).astype(np.float32) * 255, (0, 0), 8.0
     )
-    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return (img - img.min()) / (img.max() - img.min()) * 255
+
+
+def _scene(rng, h, w, dx, dy):
+    """Pure-translation scene: the lateral pan / small ego-motion regime."""
+    import cv2 as cv
+
+    img = _texture(rng, h, w)
     m = np.float32([[1, 0, dx], [0, 1, dy]])
     nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
                         borderMode=cv.BORDER_REFLECT_101)
     return img.astype(np.float32), nxt
 
 
-def epe_check(dcfg: "DenseLKConfig") -> float:
-    """Mean EPE vs cv.calcOpticalFlowPyrLK, dashcam-regime motion.
+def _scene_zoom(rng, h, w, scale, angle_deg):
+    """Divergent-flow scene: zoom about the frame center plus a slight
+    rotation — the forward dashcam ego-motion regime where the Pallas
+    residual clamp (local window) is the known weak spot (BENCH_NOTES.md
+    accuracy envelope).  Gating on this scene keeps perf changes honest
+    for exactly the motion the reference pipeline exists to track
+    (/root/reference/LK_Final.py:94-96 forward-motion flow lines)."""
+    import cv2 as cv
+
+    img = _texture(rng, h, w)
+    m = cv.getRotationMatrix2D((w / 2.0, h / 2.0), angle_deg, scale)
+    nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                        borderMode=cv.BORDER_REFLECT_101)
+    return img.astype(np.float32), nxt
+
+
+def epe_check(dcfg: "DenseLKConfig", img, nxt) -> float:
+    """Mean EPE vs cv.calcOpticalFlowPyrLK on one (img, nxt) scene pair.
 
     Runs at the SAME 1080p geometry the throughput measures, so the gate
     exercises the identical compiled program including the pad-and-crop
     path (1080 -> 1088 rows) and the production tile sizes."""
     import cv2 as cv
 
-    rng = np.random.default_rng(1234)
-    img, nxt = _scene(rng, H, W, 3.7, -2.2)
     if VIDEO:
         # gate the exact per-step program the video chain executes
         def flow_fn(a, b):
@@ -189,11 +210,19 @@ def throughput(dcfg: "DenseLKConfig") -> float:
 def main():
     pallas = os.environ.get("LK_BENCH_PALLAS", "1") == "1"
     dcfg = DenseLKConfig(use_pallas_warp=pallas, pallas_pyramid=pallas)
-    epe = epe_check(dcfg)
+    rng = np.random.default_rng(1234)
+    # Gate on the WORST of two regimes: pure translation (lateral pan) and
+    # zoom+rotation (forward dashcam ego-motion — divergent flow, where the
+    # local residual clamp is the known weak spot).  A perf change that
+    # hurts only divergent flow can no longer sail through.
+    epe_t = epe_check(dcfg, *_scene(rng, H, W, 3.7, -2.2))
+    epe_z = epe_check(dcfg, *_scene_zoom(rng, H, W, 1.004, 0.3))
+    epe = max(epe_t, epe_z)
     fps = throughput(dcfg) if epe < 0.1 else 0.0
     print(json.dumps({
         "metric": "dense_pyramidal_lk_1080p_fps_per_chip"
-                  f" (epe_vs_opencv={epe:.4f}px)",
+                  f" (epe_vs_opencv: shift={epe_t:.4f}px"
+                  f" zoom+rot={epe_z:.4f}px, gate=worst<0.1)",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 2),

@@ -313,30 +313,40 @@ class VideoPipeline:
             self.drain()
         return outs
 
-    def _drain(self, outs) -> None:
+    def _drain(self, outs, n_valid: Optional[int] = None) -> None:
         # One device->host transfer for the whole pytree: per-array fetches
         # each pay the full tunnel round trip (~33 ms measured) and dominated
         # the host loop.  The bookkeeping below is vectorized numpy — the
         # per-frame Python loop it replaces dominated multi-stream serving
         # (measured ~0.5 ms/frame of host time).
+        #
+        # n_valid: only the first n_valid frames of the chunk belong to this
+        # stream (ragged lifecycles — MultiStreamPipeline keeps feeding a
+        # finished slot padding frames until it is recycled; their outputs
+        # are dropped here, exactly).
         outs = jax.device_get(outs)
         compact = isinstance(outs, CompactChunkOutputs)
         if compact:
             comp, outs = outs, outs.rest
         t = outs.show_mask.shape[0]
-        show_rows = np.asarray(outs.show_row, np.float64)
-        show_mask = np.asarray(outs.show_mask)
-        seg_s = np.asarray(outs.line_start)
-        seg_e = np.asarray(outs.line_stop)
-        seg_m = np.asarray(outs.line_mask)
-        fracs = np.asarray(outs.motion_fracs)
+        nv = t if n_valid is None else max(0, min(int(n_valid), t))
+        if nv == 0:
+            return
+        show_rows = np.asarray(outs.show_row, np.float64)[:nv]
+        show_mask = np.asarray(outs.show_mask)[:nv]
+        seg_s = np.asarray(outs.line_start)[:nv]
+        seg_e = np.asarray(outs.line_stop)[:nv]
+        seg_m = np.asarray(outs.line_mask)[:nv]
+        fracs = np.asarray(outs.motion_fracs)[:nv]
 
         if compact:
             # reconstruct the exact masked row streams from the compacted
-            # buffers + per-frame counts (runner._compact_chunk_outputs)
+            # buffers + per-frame counts (runner._compact_chunk_outputs);
+            # rows are frame-ordered, so truncated chunks keep an exact
+            # prefix and the overflow check applies to the kept frames
             cap = comp.upd_rows.shape[-2]
-            upd_counts = np.asarray(comp.upd_counts, np.int64)
-            cp_counts = np.asarray(comp.cp_counts, np.int64)
+            upd_counts = np.asarray(comp.upd_counts, np.int64)[:nv]
+            cp_counts = np.asarray(comp.cp_counts, np.int64)[:nv]
             n_upd = int(upd_counts.sum())
             n_cp = int(cp_counts.sum())
             if n_upd > cap or n_cp > cap:
@@ -347,12 +357,12 @@ class VideoPipeline:
                 )
             upd_rows = np.asarray(comp.upd_rows, np.float64)[:n_upd]
             cp_rows = np.asarray(comp.cp_rows, np.float64)[:n_cp]
-            upd_frame = np.repeat(np.arange(t), upd_counts)
+            upd_frame = np.repeat(np.arange(nv), upd_counts)
         else:
-            upd_full = np.asarray(outs.update_rows, np.float64)
-            upd_m = np.asarray(outs.update_mask)
-            cp_full = np.asarray(outs.cp_xy, np.float64)
-            cp_m = np.asarray(outs.cp_mask)
+            upd_full = np.asarray(outs.update_rows, np.float64)[:nv]
+            upd_m = np.asarray(outs.update_mask)[:nv]
+            cp_full = np.asarray(outs.cp_xy, np.float64)[:nv]
+            cp_m = np.asarray(outs.cp_mask)[:nv]
             upd_rows = upd_full[upd_m]
             cp_rows = cp_full[cp_m]
             upd_frame = np.nonzero(upd_m)[0]
@@ -377,7 +387,7 @@ class VideoPipeline:
             dict(start=a.copy(), stop=b.copy())
             for a, b in zip(seg_s[seg_m], seg_e[seg_m])
         )
-        self.frames_done += t
+        self.frames_done += nv
 
     def run(self, frames: Iterable[np.ndarray], prefetch: int = 0) -> None:
         """Consume an iterable of single (Hs, Ws, 3) u8 frames in chunks.
@@ -413,21 +423,65 @@ class VideoPipeline:
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_batched_runner(cfg: PipelineConfig, frame_size: Tuple[int, int]):
+def _cached_batched_runner(cfg: PipelineConfig, frame_size: Tuple[int, int],
+                           mesh=None, mesh_axis: str = "streams"):
+    """jit (or shard_map over ``mesh_axis``) of the batched chunk runner.
+
+    With a mesh, the PRODUCTION batched step (step_batched — frame-band
+    window gathers, fold carry, detection gated on any(trigger)) runs
+    per-shard on B/D local streams: streams are embarrassingly parallel
+    (SURVEY.md §2.5), so each device executes exactly the single-chip
+    program at a smaller batch — no collectives, and the Pallas serving
+    kernels see their ordinary local-batch geometry on real multi-chip.
+    The any(trigger) detection gate becomes per-shard, which only ever
+    *skips more* work (a shard with no triggering stream takes the zero
+    branch; non-triggering streams discard det outputs either way)."""
     run_chunk_b, init_b, _ = make_batched_chunk_runner(cfg, frame_size)
-    return jax.jit(run_chunk_b), jax.jit(init_b)
+    if mesh is None:
+        return jax.jit(run_chunk_b), jax.jit(init_b)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    lead = P(mesh_axis)
+    run_s = shard_map(
+        run_chunk_b, mesh=mesh, in_specs=(lead, lead),
+        out_specs=(lead, lead), check_vma=False,
+    )
+    init_s = shard_map(
+        init_b, mesh=mesh, in_specs=(lead,), out_specs=lead, check_vma=False,
+    )
+    return jax.jit(run_s), jax.jit(init_s)
+
+
+@functools.lru_cache(maxsize=1)
+def _cached_slot_swap():
+    """jit of: overwrite batch slot b of a batched state pytree with a fresh
+    single-stream state (slot recycling — b is traced, so one executable
+    serves every slot index)."""
+
+    def swap(states, fresh, b):
+        return jax.tree_util.tree_map(
+            lambda s, f: jax.lax.dynamic_update_index_in_dim(s, f, b, 0),
+            states, fresh,
+        )
+
+    return jax.jit(swap)
 
 
 @functools.lru_cache(maxsize=64)
 def _cached_staged_feed(cfg: PipelineConfig, frame_size: Tuple[int, int],
-                        n: int):
+                        n: int, mesh=None, mesh_axis: str = "streams"):
     """ONE jit for a staged serving feed iteration: dynamic-slice n frame
     batches out of a time-major (F, B, H, W) u8 staging array, finish
     (u8->f32 [+tone] + blur) and run the chunk scan — no intermediate
     dispatches.  Measured vs serve.py's previous 3-dispatch loop on a
     (B, F) staging layout: 166.8 -> 152.3 ms per B=64 x 16 chunk
     (scripts/exp_feed_split.py; the (F, B) layout also makes the chunk
-    slice contiguous and lets XLA cancel the scan's (B,T)->(T,B) swap)."""
+    slice contiguous and lets XLA cancel the scan's (B,T)->(T,B) swap).
+
+    With a mesh, the WHOLE staged iteration (slice + finish + chunk scan)
+    shard_maps over ``mesh_axis``: staging stays sharded on its stream
+    axis (spec (None, streams)) so no frame bytes ever cross ICI."""
     run_b, _ = _cached_batched_runner(cfg, frame_size)
     finish = _cached_finish(cfg)
     w, h = frame_size
@@ -438,7 +492,17 @@ def _cached_staged_feed(cfg: PipelineConfig, frame_size: Tuple[int, int],
         g = finish(c.reshape(n * b, h, w)).reshape(n, b, h, w)
         return run_b(states, jnp.swapaxes(g, 0, 1))
 
-    return jax.jit(staged)
+    if mesh is None:
+        return jax.jit(staged)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    lead = P(mesh_axis)
+    return jax.jit(shard_map(
+        staged, mesh=mesh,
+        in_specs=(lead, P(None, mesh_axis), P()),
+        out_specs=(lead, lead), check_vma=False,
+    ))
 
 
 class MultiStreamPipeline:
@@ -463,10 +527,26 @@ class MultiStreamPipeline:
         n_streams: int,
         chunk: int = 16,
         host_preprocess: bool = True,
+        mesh=None,
+        mesh_axis: str = "streams",
     ):
         self.cfg = cfg
         self.n_streams = n_streams
         self.chunk = chunk
+        self.src_size = src_size
+        self.host_preprocess = host_preprocess
+        # mesh: shard the stream batch over ``mesh_axis`` of a
+        # jax.sharding.Mesh — each device runs the identical single-chip
+        # serving program on its B/D local streams (zero collectives; see
+        # _cached_batched_runner).  Host-side sinks/drains are unchanged:
+        # outputs come back as global arrays.
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None and n_streams % mesh.shape[mesh_axis] != 0:
+            raise ValueError(
+                f"n_streams={n_streams} not divisible by mesh axis "
+                f"{mesh_axis!r} size {mesh.shape[mesh_axis]}"
+            )
         self.pipes = [
             VideoPipeline(cfg, src_size=src_size, chunk=chunk,
                           host_preprocess=host_preprocess)
@@ -475,13 +555,58 @@ class MultiStreamPipeline:
         self.width = self.pipes[0].width
         self.height = self.pipes[0].height
         self._vrun, self._vinit = _cached_batched_runner(
-            cfg, (self.width, self.height)
+            cfg, (self.width, self.height), mesh, mesh_axis
         )
         self.states = None
-        self._pending: List[FrameOutputs] = []
+        # pending entries: (chunk outputs, per-slot n_valid | None, sinks)
+        self._pending: List[tuple] = []
         self.drain_every = 16
         self._drain_worker = None
         self._drain_q = None
+        # Ragged lifecycles: real fleets have streams that end and get
+        # replaced mid-batch.  A finished slot keeps being scanned with
+        # whatever padding frames the caller stages (its on-device state
+        # evolves garbage — harmless, no cross-slot coupling in the batched
+        # step) but its outputs are dropped exactly at the drain via the
+        # per-chunk n_valid counts; assign_stream swaps a fresh init state
+        # into the slot on device and retires the old sink.
+        self.active = np.ones(n_streams, dtype=bool)
+        self.retired: List[VideoPipeline] = []
+
+    def finish_stream(self, b: int) -> None:
+        """Mark slot ``b`` ended: subsequent chunks drop its outputs (the
+        caller passes ``n_valid`` for the chunk in which it ends, if that
+        end is not chunk-aligned).  The slot's sink stays readable until
+        :meth:`assign_stream` recycles it."""
+        self.active[b] = False
+
+    def assign_stream(self, b: int, first_gray: jnp.ndarray) -> VideoPipeline:
+        """Recycle slot ``b`` for a new stream whose first processed gray
+        frame is ``first_gray`` (consumed for initialization, like the
+        reference's first-frame detection — LK_Final.py:481-492).  The old
+        sink moves to ``self.retired``; returns the fresh sink."""
+        if self.states is None:
+            raise RuntimeError("assign_stream before the first feed")
+        self.retired.append(self.pipes[b])
+        p = VideoPipeline(self.cfg, src_size=self.src_size, chunk=self.chunk,
+                          host_preprocess=self.host_preprocess)
+        p.consumed_init_frame = True
+        self.pipes[b] = p
+        fresh = p.init_fn(jnp.asarray(first_gray, jnp.float32))
+        self.states = _cached_slot_swap()(self.states, fresh, jnp.int32(b))
+        self.active[b] = True
+        return p
+
+    def _chunk_valid(self, t: int, n_valid) -> Optional[np.ndarray]:
+        """Per-slot valid-frame counts for a t-frame chunk: explicit
+        ``n_valid`` wins; otherwise active slots own the whole chunk."""
+        if n_valid is not None:
+            nv = np.asarray(n_valid, np.int64).copy()
+            assert nv.shape == (self.n_streams,)
+            return nv
+        if self.active.all():
+            return None                      # fast path: nothing to trim
+        return np.where(self.active, t, 0).astype(np.int64)
 
     def start_async_drains(self) -> None:
         """Move readback + bookkeeping to a worker thread so periodic
@@ -514,15 +639,21 @@ class MultiStreamPipeline:
         )
         self._drain_worker.start()
 
-    def feed(self, batch: np.ndarray) -> None:
+    def feed(self, batch: np.ndarray, n_valid=None) -> None:
         """batch: (B, T, Hs, Ws, 3) u8 BGR frames, one row per stream."""
         grays = jnp.stack([
             p._ingest(batch[b]) for b, p in enumerate(self.pipes)
         ])
-        self.feed_processed(grays)
+        self.feed_processed(grays, n_valid=n_valid)
 
-    def feed_processed(self, grays: jnp.ndarray) -> None:
-        """grays: (B, T, H, W) preprocessed float32 frames."""
+    def feed_processed(self, grays: jnp.ndarray, n_valid=None) -> None:
+        """grays: (B, T, H, W) preprocessed float32 frames.
+
+        ``n_valid``: optional (B,) leading-valid-frame counts for THIS
+        chunk's *processed* frames (streams ending mid-chunk keep exactly
+        their first n_valid outputs; the consumed init frame, if any, is
+        not counted).  Defaults to the full chunk for active slots, 0 for
+        finished ones."""
         assert grays.shape[0] == self.n_streams
         if self.states is None:
             self.states = self._vinit(grays[:, 0])
@@ -534,16 +665,22 @@ class MultiStreamPipeline:
         self.states, outs = self._vrun(self.states, grays)
         # Defer readback (async dispatch): drain fetches the whole batched
         # pytree in one device->host transfer, then slices per stream.
-        self._pending.append(outs)
+        # The sink-list snapshot rides along so a later assign_stream can't
+        # steal this chunk's rows from the sink that owned the slot.
+        self._pending.append((outs, self._chunk_valid(grays.shape[1],
+                                                      n_valid),
+                              list(self.pipes)))
         if len(self._pending) >= self.drain_every:
             self._drain_enqueue()
 
-    def feed_staged(self, staging_fb: jnp.ndarray, t: int, n: int) -> None:
+    def feed_staged(self, staging_fb: jnp.ndarray, t: int, n: int,
+                    n_valid=None) -> None:
         """Process frames [t, t+n) of a TIME-MAJOR (F, B, H, W) u8 device
         staging array: slice + finish + chunk scan run as ONE dispatch
         (see _cached_staged_feed).  The u8 layout keeps HBM staging 4x
         smaller than f32 and the time-major axis makes the slice
-        contiguous.  First call consumes one frame for initialization."""
+        contiguous.  First call consumes one frame for initialization.
+        ``n_valid`` as in :meth:`feed_processed`."""
         assert staging_fb.shape[1] == self.n_streams
         if self.states is None:
             self.states = self._vinit(self._finish(staging_fb[t]))
@@ -554,14 +691,29 @@ class MultiStreamPipeline:
             if n == 0:
                 return
         fn = _cached_staged_feed(
-            self.cfg, (self.width, self.height), n)
+            self.cfg, (self.width, self.height), n, self.mesh,
+            self.mesh_axis)
         self.states, outs = fn(self.states, staging_fb, t)
-        self._pending.append(outs)
+        self._pending.append((outs, self._chunk_valid(n, n_valid),
+                              list(self.pipes)))
         if len(self._pending) >= self.drain_every:
             self._drain_enqueue()
 
     def _finish(self, grays_u8: jnp.ndarray) -> jnp.ndarray:
         return self.pipes[0]._finish_jit(grays_u8)
+
+    @property
+    def staging_sharding(self):
+        """Sharding to device_put the (F, B, H, W) staging array with in
+        mesh mode (stream axis sharded, frames replicated per shard — the
+        layout _cached_staged_feed's shard_map expects, so staging bytes
+        land on their owning device once and never cross ICI).  ``None``
+        without a mesh."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, self.mesh_axis))
 
     def drain(self) -> None:
         # one device->host fetch for every pending chunk of every stream;
@@ -591,10 +743,15 @@ class MultiStreamPipeline:
             self._drain_now(pending)
 
     def _drain_now(self, pending) -> None:
-        for host in jax.device_get(pending):
-            for b, p in enumerate(self.pipes):
-                p._drain(jax.tree_util.tree_map(lambda x: x[b], host))
+        hosts = jax.device_get([outs for outs, _, _ in pending])
+        for host, (_, nv, pipes) in zip(hosts, pending):
+            for b, p in enumerate(pipes):
+                p._drain(
+                    jax.tree_util.tree_map(lambda x: x[b], host),
+                    n_valid=None if nv is None else int(nv[b]),
+                )
 
     @property
     def frames_done(self) -> int:
-        return sum(p.frames_done for p in self.pipes)
+        return sum(p.frames_done for p in self.pipes) + sum(
+            p.frames_done for p in self.retired)

@@ -122,6 +122,67 @@ def test_gspmd_auto_sharded_pyramidal(mesh, rng):
     np.testing.assert_allclose(flow, ref, atol=5e-3)  # fp reduction-order noise
 
 
+def test_mesh_sharded_serving_matches_single_device():
+    """The PRODUCTION batched serving path (feed_staged -> step_batched:
+    fold carry, frame-band tracking, compacted outputs) sharded over an
+    8-device 'streams' mesh == the single-device run, per stream.  This is
+    the serving program the chip actually runs (pipeline/step.py
+    step_batched), not the vmap(step) of shard_pipeline_step."""
+    import dataclasses
+
+    import cv2 as cv
+    from jax.sharding import Mesh
+
+    from lk_tpu.io.video import SyntheticRoadStream
+    from lk_tpu.pipeline.runner import MultiStreamPipeline
+
+    cfg = dataclasses.replace(PipelineConfig(), width=256, out_cap=48)
+    w, h = 256, 144
+    b, f, chunk = 16, 17, 8
+    u8 = np.empty((f, b, h, w), np.uint8)
+    for k in range(b):
+        s = SyntheticRoadStream(width=w, height=h, zoom=1.03 + 0.002 * k,
+                                seed=100 + k, n_frames=f,
+                                vp=(90 + 5 * k, 60 + (k % 3) * 8))
+        for t in range(f):
+            u8[t, k] = cv.cvtColor(s.frame(t), cv.COLOR_BGR2GRAY)
+
+    smesh = Mesh(np.asarray(jax.devices()), ("streams",))
+    kw = dict(src_size=(w, h), n_streams=b, chunk=chunk)
+    single = MultiStreamPipeline(cfg, **kw)
+    sharded = MultiStreamPipeline(cfg, mesh=smesh, **kw)
+
+    stage_1 = jnp.asarray(u8)
+    stage_8 = jax.device_put(u8, sharded.staging_sharding)
+    assert sharded.staging_sharding.is_fully_addressable
+    t = 0
+    while t < f:
+        n = min(chunk + (1 if single.states is None else 0), f - t)
+        single.feed_staged(stage_1, t, n)
+        sharded.feed_staged(stage_8, t, n)
+        t += n
+    single.drain()
+    sharded.drain()
+
+    # states stay sharded on the stream axis between feeds
+    leaf = jax.tree_util.tree_leaves(sharded.states)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    for p, q in zip(sharded.pipes, single.pipes):
+        assert p.frames_done == q.frames_done == f - 1
+        assert len(p.csv_rows) == len(q.csv_rows)
+        if p.csv_rows:
+            np.testing.assert_allclose(
+                np.array(p.csv_rows, np.float64),
+                np.array(q.csv_rows, np.float64), atol=1e-4)
+        assert len(p.cross_points) == len(q.cross_points)
+        for u, v in zip(p.vp_per_frame, q.vp_per_frame):
+            if v is None:
+                assert u is None
+            else:
+                assert u == pytest.approx(v, abs=1e-4)
+
+
 def test_spatial_seam_at_displacement_bound(mesh, rng):
     """Flow at the max_disp bound CROSSING the shard seam: the halo envelope
     must cover every outer iteration, not just the first (the coherence box

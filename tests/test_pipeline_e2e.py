@@ -241,6 +241,74 @@ def test_compact_outputs_match_uncapped_batched(scene):
         assert p.vp_per_frame == q.vp_per_frame
 
 
+def test_ragged_stream_lifecycles():
+    """Streams of different lengths share one batch: mid-chunk ends keep an
+    exact output prefix (n_valid), finished slots are recycled on device
+    (assign_stream), and every logical stream's sink matches its own
+    isolated batched run (SURVEY.md §7 hard part 5)."""
+    import dataclasses
+
+    from lk_tpu.pipeline.runner import MultiStreamPipeline
+
+    cfg = dataclasses.replace(PipelineConfig(), width=430, out_cap=48)
+    w, h = 430, 242
+    sa = SyntheticRoadStream(width=w, height=h, zoom=1.03, seed=3,
+                             n_frames=25)
+    sb = SyntheticRoadStream(width=w, height=h, zoom=1.04, seed=5,
+                             n_frames=17, vp=(150, 110))
+    sc = SyntheticRoadStream(width=w, height=h, zoom=1.03, seed=7,
+                             n_frames=21, vp=(250, 120))
+    sd = SyntheticRoadStream(width=w, height=h, zoom=1.05, seed=9,
+                             n_frames=9, vp=(200, 130))
+    A = [sa.frame(t) for t in range(25)]
+    B = [sb.frame(t) for t in range(17)]
+    C = [sc.frame(t) for t in range(21)]
+    D = [sd.frame(t) for t in range(9)]
+
+    ms = MultiStreamPipeline(cfg, src_size=(w, h), n_streams=3, chunk=8)
+    # feed 1 (init + 8): frames 0..8 of A/B/C
+    ms.feed(np.stack([np.stack(A[:9]), np.stack(B[:9]), np.stack(C[:9])]))
+    # feed 2: frames 9..16 — B ends exactly at this chunk boundary
+    ms.feed(np.stack([np.stack(A[9:17]), np.stack(B[9:17]),
+                      np.stack(C[9:17])]))
+    ms.finish_stream(1)
+    sink_b = ms.pipes[1]
+    # recycle slot 1 for D (frame 0 consumed by on-device init)
+    d0 = ms.pipes[0]._ingest(np.stack(D[:1]))[0]
+    sink_d = ms.assign_stream(1, d0)
+    # feed 3: A frames 17..24, D frames 1..8, C frames 17..20 + 4 padding
+    pad_c = np.stack(C[17:21] + [C[20]] * 4)
+    ms.feed(np.stack([np.stack(A[17:25]), np.stack(D[1:9]), pad_c]),
+            n_valid=np.array([8, 8, 4]))
+    ms.drain()
+
+    sinks = {"A": ms.pipes[0], "B": sink_b, "C": ms.pipes[2], "D": sink_d}
+    assert sink_b in ms.retired
+    for name, frames in [("A", A), ("B", B), ("C", C), ("D", D)]:
+        ref = MultiStreamPipeline(cfg, src_size=(w, h), n_streams=1, chunk=8)
+        t = 0
+        while t < len(frames):
+            n = min(8 + (1 if ref.states is None else 0), len(frames) - t)
+            ref.feed(np.stack(frames[t:t + n])[None])
+            t += n
+        ref.drain()
+        got, want = sinks[name], ref.pipes[0]
+        assert got.frames_done == want.frames_done == len(frames) - 1, name
+        assert len(got.csv_rows) == len(want.csv_rows), name
+        if got.csv_rows:
+            np.testing.assert_allclose(
+                np.array(got.csv_rows, np.float64),
+                np.array(want.csv_rows, np.float64), atol=1e-4,
+                err_msg=name)
+        assert len(got.vp_per_frame) == len(want.vp_per_frame), name
+        for u, v in zip(got.vp_per_frame, want.vp_per_frame):
+            if v is None:
+                assert u is None, name
+            else:
+                assert u == pytest.approx(v, abs=1e-4), name
+        assert len(got.cross_points) == len(want.cross_points), name
+
+
 def test_staged_feed_matches_processed_feed(scene):
     """feed_staged (ONE fused slice+finish+scan dispatch over a time-major
     u8 staging array — the serving prestage hot path) == feed_processed
