@@ -26,8 +26,12 @@ import jax
 import jax.numpy as jnp
 
 from lk_tpu.config import DenseLKConfig, LKConfig
-from lk_tpu.flow.dense import (build_frame_levels, dense_flow_from_levels,
-                               dense_pyramidal_lk)
+from lk_tpu.flow.dense import (build_frame_levels,
+                               build_frame_levels_prepadded,
+                               dense_flow_from_levels,
+                               dense_flow_from_levels_prepadded,
+                               dense_pyramidal_lk, pyramid_base_geometry,
+                               _video_level_plan)
 
 H, W = 1080, 1920
 # Measured on v5e: batch 1 is fastest per frame (batched 3-D stencils lower
@@ -105,7 +109,15 @@ def epe_check(dcfg: "DenseLKConfig", img, nxt) -> float:
 
     if VIDEO:
         # gate the exact per-step program the video chain executes
+        plan = _video_level_plan(
+            LKConfig(), dcfg, pyramid_base_geometry(H, W, LKConfig(), dcfg))
+
         def flow_fn(a, b):
+            if plan is not None:   # the unified-prepadded production chain
+                la = build_frame_levels_prepadded(a, LKConfig(), dcfg, plan)
+                lb = build_frame_levels_prepadded(b, LKConfig(), dcfg, plan)
+                return dense_flow_from_levels_prepadded(
+                    la, lb, LKConfig(), dcfg, (H, W), plan).flow
             la = build_frame_levels(a, LKConfig(), dcfg)
             lb = build_frame_levels(b, LKConfig(), dcfg)
             return dense_flow_from_levels(
@@ -167,16 +179,32 @@ def throughput(dcfg: "DenseLKConfig") -> float:
 
     def chained(n):
         if VIDEO:
+            plan = _video_level_plan(
+                LKConfig(), dcfg,
+                pyramid_base_geometry(H, W, LKConfig(), dcfg))
+
+            def build(f):
+                if plan is not None:
+                    return build_frame_levels_prepadded(
+                        f, LKConfig(), dcfg, plan)
+                return build_frame_levels(f, LKConfig(), dcfg)
+
+            def flow_step(levels, nl):
+                if plan is not None:
+                    return dense_flow_from_levels_prepadded(
+                        levels, nl, LKConfig(), dcfg, (H, W), plan)
+                return dense_flow_from_levels(
+                    levels, nl, LKConfig(), dcfg, (H, W))
+
             @jax.jit
             def run(a, b):
-                levels0 = build_frame_levels(a, LKConfig(), dcfg)
+                levels0 = build(a)
 
                 def step(carry, _):
                     levels, acc, f = carry
                     nf = f * (1.0 - 1e-6) + acc * 1e-9  # fresh frame/step
-                    nl = build_frame_levels(nf, LKConfig(), dcfg)
-                    r = dense_flow_from_levels(
-                        levels, nl, LKConfig(), dcfg, (H, W))
+                    nl = build(nf)
+                    r = flow_step(levels, nl)
                     acc = acc * (1 - 1e-9) + jnp.sum(r.flow) * 1e-9
                     return (nl, acc, nf), None
 

@@ -466,6 +466,156 @@ def build_frame_levels(
     return tuple(levels)
 
 
+class _LevelPlan(NamedTuple):
+    """Static per-level geometry of the prepadded video chain."""
+    h: int
+    w: int
+    th: int
+    tw: int
+    resident: bool
+    iters: int
+    local: int
+    disp: int
+    pads: tuple  # (top, bottom, left, right) of unified_pad_geometry
+
+
+def _video_level_plan(
+    cfg: LKConfig, dense_cfg: DenseLKConfig, base_hw: tuple[int, int]
+) -> Optional[tuple]:
+    """Per-level static geometry for the prepadded video-mode chain, or
+    ``None`` when the geometry/config cannot run it (the caller falls back
+    to the per-call-padding path).
+
+    Requirements mirror the production 1080p pyramid: every level pad-free
+    at its Pallas geometry on the grads kernels, the top level VMEM-resident,
+    and every finer level a single-iteration coarse-chain consumer with
+    tiles aligned for the tight out writes.
+    """
+    from lk_tpu.flow.pallas_kernels import unified_pad_geometry
+
+    if not (dense_cfg.use_pallas_warp or dense_cfg.use_pallas_fused):
+        return None
+    if not dense_cfg.fused_grads_in_kernel or not dense_cfg.fused_coarse_chain:
+        return None
+    top = cfg.max_level
+    if cfg.win_size[0] != cfg.win_size[1]:
+        return None
+    hs, ws = [base_hw[0]], [base_hw[1]]
+    for _ in range(top):
+        if hs[-1] % 2 or ws[-1] % 2:
+            return None          # coarse chain needs exact halving
+        hs.append(hs[-1] // 2)
+        ws.append(ws[-1] // 2)
+    plan = []
+    for level in range(top + 1):
+        n_it = dense_cfg.level_iters(level)
+        local = dense_cfg.level_local(level)
+        disp = dense_cfg.level_disp(level)
+        lcfg = dataclasses.replace(
+            dense_cfg, outer_iters=n_it, use_pallas_fused=True,
+            warp_local=local)
+        g_res, th, tw, hp, wp = pallas_level_geometry(hs[level], ws[level],
+                                                      lcfg)
+        if (hp, wp) != (hs[level], ws[level]):
+            return None
+        if level == top:
+            if not g_res:
+                return None      # multi-tile ping-pong top: fall back
+            th, tw = hs[level], ws[level]
+        else:
+            if g_res or n_it != 1 or th % 16 or tw % 256:
+                return None
+        pads = unified_pad_geometry(th, tw, disp, local)
+        plan.append(_LevelPlan(hs[level], ws[level], th, tw,
+                               level == top, n_it, local, disp, pads))
+    return tuple(plan)
+
+
+def build_frame_levels_prepadded(
+    frame: jnp.ndarray,
+    cfg: LKConfig,
+    dense_cfg: DenseLKConfig,
+    plan: tuple,
+) -> tuple:
+    """Pyramid levels of ONE frame, each edge-padded ONCE into the unified
+    kernel layout (the video-mode scan carry of the prepadded chain).
+
+    The decimation chain is exactly build_frame_levels (identical values);
+    only the per-level pad into unified_pad_geometry is added here — and in
+    exchange the level kernels pad NOTHING per call, where the per-call
+    path re-pads every frame twice per level (as next in one scan step, as
+    prev in the following one)."""
+    levels = build_frame_levels(frame, cfg, dense_cfg)
+    assert len(levels) == len(plan)
+    out = []
+    for f, p in zip(levels, plan):
+        assert f.shape == (p.h, p.w), (f.shape, p)
+        pt, pb, pl_, pr = p.pads
+        out.append(jnp.pad(f, ((pt, pb), (pl_, pr)), mode="edge"))
+    return tuple(out)
+
+
+def dense_flow_from_levels_prepadded(
+    prev_levels: tuple,
+    next_levels: tuple,
+    cfg: LKConfig,
+    dense_cfg: DenseLKConfig,
+    true_hw: tuple[int, int],
+    plan: tuple,
+    init_flow: Optional[jnp.ndarray] = None,
+    return_top_flow: bool = False,
+):
+    """Coarse-to-fine refinement over unified-prepadded pyramid levels.
+
+    The zero-XLA-glue production chain: the top level runs VMEM-resident,
+    every finer level consumes the coarser flow as half-res planes
+    (in-kernel MXU upsample) and writes a TIGHT output buffer; only level 0
+    writes the (min_eig, valid) stats planes.  Numerically identical to
+    dense_flow_from_levels on the same levels (same kernels, same values —
+    the unified pad regions replicate the same frame edges)."""
+    from lk_tpu.flow.pallas_kernels import (
+        make_fused_lk_level_grads,
+        make_fused_lk_level_grads_resident,
+    )
+
+    h_true, w_true = true_hw
+    top = cfg.max_level
+    p = plan[top]
+    run_top = make_fused_lk_level_grads_resident(
+        next_levels[top], prev_levels[top], n_iters=p.iters,
+        min_eig_threshold=cfg.min_eig_threshold, max_disp=p.disp,
+        win_k=cfg.win_size[1], local=p.local, planes_out=True,
+        prepadded_hw=(p.h, p.w),
+    )
+    if init_flow is None:
+        seed = jnp.zeros((p.h, p.w, 2), jnp.float32)
+    else:
+        seed = init_flow.astype(jnp.float32)
+        assert seed.shape == (p.h, p.w, 2), seed.shape
+    flow, min_eig, valid = run_top(seed)       # planes (2, h, w)
+    top_flow = jnp.moveaxis(flow, 0, -1) if return_top_flow else None
+    for level in range(top - 1, -1, -1):
+        p = plan[level]
+        run = make_fused_lk_level_grads(
+            next_levels[level], prev_levels[level], n_iters=1,
+            min_eig_threshold=cfg.min_eig_threshold, max_disp=p.disp,
+            tile_h=p.th, tile_w=p.tw, win_k=cfg.win_size[1], local=p.local,
+            coarse_flow=True, planes_out=True, prepadded=True,
+            write_stats=(level == 0),
+        )
+        flow, me, va = run(flow)
+        if level == 0:
+            min_eig, valid = me, va
+    result = DenseFlowResult(
+        flow=jnp.moveaxis(flow[:, :h_true, :w_true], 0, -1),
+        min_eig=min_eig[:h_true, :w_true],
+        valid=valid[:h_true, :w_true],
+    )
+    if return_top_flow:
+        return result, top_flow
+    return result
+
+
 def dense_pyramidal_lk_video(
     frames: jnp.ndarray,
     cfg: LKConfig = LKConfig(),
@@ -487,6 +637,59 @@ def dense_pyramidal_lk_video(
     assert frames.ndim == 3, frames.shape
     h_true, w_true = frames.shape[-2:]
     t_total = frames.shape[0]
+
+    # Prepadded chain: frames carried as unified-padded pyramid levels, the
+    # per-level kernels pad/slice NOTHING (measured at 1080p: the per-call
+    # jnp.pads of next+prev alone were ~46 MB of HBM copies per L0 call).
+    # Identical numerics; geometry/config gated by _video_level_plan.
+    plan = _video_level_plan(
+        cfg, dense_cfg,
+        pyramid_base_geometry(h_true, w_true, cfg, dense_cfg))
+    if plan is not None and (not dense_cfg.video_warm_start or t_total <= 2):
+        pads0 = build_frame_levels_prepadded(frames[0], cfg, dense_cfg, plan)
+
+        def pstep(carry, frame):
+            nxt = build_frame_levels_prepadded(frame, cfg, dense_cfg, plan)
+            res = dense_flow_from_levels_prepadded(
+                carry, nxt, cfg, dense_cfg, (h_true, w_true), plan)
+            return nxt, res
+
+        _, out = jax.lax.scan(pstep, pads0, frames[1:].astype(jnp.float32))
+        return out
+    if plan is not None:
+        # warm start on the prepadded chain: cold first pair, then the
+        # warm top-iteration schedule with the carried top-level seed
+        warm_d = dataclasses.replace(
+            dense_cfg,
+            iter_schedule=tuple(dense_cfg.level_iters(lv)
+                                for lv in range(cfg.max_level))
+            + (dense_cfg.warm_top_iters,))
+        warm_plan = _video_level_plan(
+            cfg, warm_d, pyramid_base_geometry(h_true, w_true, cfg, warm_d))
+        if warm_plan is not None:
+            pads0 = build_frame_levels_prepadded(frames[0], cfg, dense_cfg,
+                                                 plan)
+            pads1 = build_frame_levels_prepadded(frames[1], cfg, dense_cfg,
+                                                 plan)
+            res0, top0 = dense_flow_from_levels_prepadded(
+                pads0, pads1, cfg, dense_cfg, (h_true, w_true), plan,
+                return_top_flow=True)
+
+            def wstep(carry, frame):
+                levels, seed = carry
+                nxt = build_frame_levels_prepadded(frame, cfg, warm_d,
+                                                   warm_plan)
+                res, topf = dense_flow_from_levels_prepadded(
+                    levels, nxt, cfg, warm_d, (h_true, w_true), warm_plan,
+                    init_flow=seed, return_top_flow=True)
+                return (nxt, topf), res
+
+            _, out = jax.lax.scan(
+                wstep, (pads1, top0), frames[2:].astype(jnp.float32))
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                res0, out)
+
     levels0 = build_frame_levels(frames[0], cfg, dense_cfg)
 
     if not dense_cfg.video_warm_start or t_total <= 2:

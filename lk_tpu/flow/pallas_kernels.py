@@ -112,6 +112,36 @@ def _asym_pads(tile_h: int, tile_w: int, sh: int, sw: int,
     return pad_t, pad_b, pad_l, pad_r
 
 
+def unified_pad_geometry(tile_h: int, tile_w: int, max_disp: int,
+                         local: int) -> tuple[int, int, int, int]:
+    """(top, bottom, left, right) pads for ONE edge-padded frame that serves
+    BOTH roles of the grads kernels: the fixed-offset prev-window reads
+    (which the old layout gave a ((16, 16), (128, 256)) pad) and the
+    dynamic-offset warp-window reads (the old asymmetric ``next`` pad).
+
+    The video scan pads each frame ONCE per level into this layout and
+    carries it — the per-call ``jnp.pad`` of next AND prev inside
+    make_fused_lk_level_grads (~46 MB of HBM copy traffic per 1080p L0
+    call, and each video frame paid it twice: once as next, once as prev)
+    disappears.  Alignment: top ≡ 0 (mod 8) so the prev-read row offset
+    (top - 16) + ti*tile_h stays provably 8-aligned; left is exactly 128
+    (the prev layout's column origin, so the in-kernel column arithmetic
+    is unchanged) — valid because the warp's left need is
+    max_disp + local + 24 < 128 for every production level.
+    """
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    sh, sw = _win_shape(eth, etw, local)
+    wt, wb, wl, wr = _asym_pads(tile_h, tile_w, sh, sw, max_disp, local)
+    assert wl <= 128, (wl, max_disp, local)
+    etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
+    pt = -(-max(wt, 16) // 8) * 8
+    pb = max(wb, 16)
+    pl = 128
+    pr = max(wr, etw_dma_p - tile_w - 128)
+    return pt, pb, pl, pr
+
+
 def _warp_start(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
                 *, pad_y, pad_x, max_disp, local):
     """Issue the warp-window DMA for a (th, tw) region at global (y0, x0).
@@ -142,6 +172,35 @@ def _warp_start(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
     return dma, src_y_raw, src_x_raw, src_y, src_x
 
 
+def _tent_gather(win, rel, axis, out_len, local):
+    """Per-pixel 2-tap tent interpolation along ``axis`` of ``win``:
+
+        out[i] = (1 - f) * win[i + di] + f * win[i + di + 1],
+        di = floor(rel), f = rel - di,  rel pre-clipped to [0, 2*local]
+
+    as two equality-select chains (win[di] and win[di+1]) SHARING the
+    2*local+2 shifted window views, then ONE lerp.  The dense tent-tap sum
+    (max(0, 1-|rel-d|) weight per tap) costs ~6 VPU ops per tap on the full
+    plane; this form costs the same shifted views plus 1 compare + 2
+    selects per tap and the lerp — ~1.9x fewer ops, and BIT-IDENTICAL
+    output: the dense sum has exactly two nonzero terms, (1-f)*win[di+i]
+    added first and f*win[di+1+i] second, i.e. the same two-term float sum
+    this computes directly.  (A log-depth bit-decomposed shift tree does
+    NOT work here: with per-pixel di, round k's reads of the partially
+    selected array evaluate round k-1's masks at the shifted index.)"""
+    taps = [jax.lax.slice_in_dim(win, d, d + out_len, axis=axis)
+            for d in range(2 * local + 2)]
+    di_f = jnp.floor(rel)
+    f = rel - di_f
+    di = di_f.astype(jnp.int32)
+    t0, t1 = taps[0], taps[1]
+    for d in range(1, 2 * local + 1):
+        c = di == d
+        t0 = jnp.where(c, taps[d], t0)
+        t1 = jnp.where(c, taps[d + 1], t1)
+    return (1.0 - f) * t0 + f * t1
+
+
 def _warp_finish(state, fx, fy, y0, x0, scratch,
                  *, h, w, pad_y, pad_x, max_disp, th, tw, local):
     """Select/lerp phase of the warp; waits the DMA issued by _warp_start.
@@ -152,11 +211,10 @@ def _warp_finish(state, fx, fy, y0, x0, scratch,
     axis-0 roll is miscompiled for non-power-of-two sublane-group counts:
     measured (304, *) shifts by s+32 and (40, *) by s+24, while 64 rows is
     exact; static shifts are exact at any geometry).  With the row shift
-    gone from rel_y, BOTH select passes need only 2*local+2 taps (the
-    vertical pass had been 2*local+9), each tap one tent-weight FMA:
-    m_d = max(0, 1 - |rel - d|) == [di==d](1-f) + [di==d-1]f, the merged
-    bilinear weight.  Measured at 1080p L0 (local=3): 0.459 -> 0.354
-    ms/call, bit-identical output."""
+    gone from rel_y, each select pass is one bit-decomposed 2-tap gather
+    (_tent_gather) — the round-3 ablation (scripts/exp_resident_ablate.py)
+    measured the previous dense 2*local+2-tap form as ~55% of the whole
+    resident iteration."""
     dma, src_y_raw, src_x_raw, src_y, src_x = state
     bound = jnp.float32(max_disp)
     extra_y = src_y_raw - src_y        # 0..7, undone by the axis-0 rolls
@@ -167,11 +225,16 @@ def _warp_finish(state, fx, fy, y0, x0, scratch,
     # global sample position clamped to the frame (edge-clamp semantics)
     gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
     gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
+    # cancel the pad in INT arithmetic (src_*_raw - pad ≡ origin + d0 -
+    # local exactly): float-adding pad before subtracting src_raw rounds
+    # differently per pad constant, making outputs differ in the last ulp
+    # between frame layouts (per-call asym pads vs the unified prepadded
+    # video layout) — the prepadded-parity tests pin bit-equality instead
     rel_y = jnp.clip(
-        gy + pad_y - src_y_raw.astype(jnp.float32) - rows, 0.0, 2.0 * local
+        gy - (src_y_raw - pad_y).astype(jnp.float32) - rows, 0.0, 2.0 * local
     )
     rel_x = jnp.clip(
-        gx + pad_x - src_x_raw.astype(jnp.float32) - cols, 0.0, 2.0 * local
+        gx - (src_x_raw - pad_x).astype(jnp.float32) - cols, 0.0, 2.0 * local
     )
 
     dma.wait()
@@ -182,31 +245,22 @@ def _warp_finish(state, fx, fy, y0, x0, scratch,
 
     vw = tw + 2 * local + 1   # columns the horizontal pass consumes
     # slice to the used columns before the row rolls (lane-aligned = free)
-    win = win[:, :-(-vw // 128) * 128]
+    wp = -(-vw // 128) * 128
+    win = win[:, :wp]
     for bit in (1, 2, 4):
         r = pltpu.roll(win, shift=win.shape[0] - bit, axis=0)
         win = jnp.where((extra_y & bit) != 0, r, win)
 
     def widen(a):
-        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, vw - tw))
+        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, wp - tw))
         return jnp.concatenate([a, tail], axis=1)
 
     # vertical pass; halo columns reuse the edge column's selection — the
     # horizontal pass only reads column c + dxi(c) for output column c,
     # where rel_y's column mismatch is the same second-order flow-Jacobian
     # term as the separable XLA warp's.
-    rel_y_w = widen(rel_y)
-    acc = jnp.zeros((th, vw), jnp.float32)
-    for d in range(2 * local + 2):
-        m = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y_w - d))
-        acc = acc + m * win[d:d + th, :vw]
-    vert = acc                           # (th, vw)
-
-    out = jnp.zeros((th, tw), jnp.float32)
-    for d in range(2 * local + 2):
-        m = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x - d))
-        out = out + m * vert[:, d:d + tw]
-    return out
+    vert = _tent_gather(win, widen(rel_y), axis=0, out_len=th, local=local)
+    return _tent_gather(vert, rel_x, axis=1, out_len=tw, local=local)
 
 
 def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
@@ -520,6 +574,7 @@ def _fused_level_grads_kernel(
     win_scratch, prev_scratch, flow_scratch, out_tile, stats_tile, sems,
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
     area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats, coarse,
+    prev_row0=0, tight_out=False, write_stats=True,
 ):
     """Self-contained fused IC iteration: Scharr gradients and the structure
     tensor are computed in-kernel from a single prev window, so a level call
@@ -575,9 +630,12 @@ def _fused_level_grads_kernel(
     # --- descriptor builders (sems: 0-1 prev, 2-3 flow, 4 warp, 5-6 out,
     # 7-8 stats; slot-indexed pairs for the double-buffered transfers) ------
     def prev_copy(ti_, tj_, sl):
+        # prev_row0: row of prev_hbm holding frame row -16 (0 in the legacy
+        # ((16,16),(128,256)) layout; pad_t-16 in the unified prepadded one)
         return pltpu.make_async_copy(
             prev_hbm.at[
-                pl.ds(pl.multiple_of(ti_ * tile_h, 8), tile_h + 32),
+                pl.ds(pl.multiple_of(prev_row0 + ti_ * tile_h, 8),
+                      tile_h + 32),
                 pl.ds(pl.multiple_of(tj_ * tile_w, 128), etw_dma_p),
             ],
             prev_scratch.at[sl], sems.at[sl],
@@ -624,16 +682,22 @@ def _fused_level_grads_kernel(
 
     def out_copy(kk, ti_, tj_, sl):
         if merge_stats:
-            dst, n_pl = 0, 4
+            dst, n_pl = 0, 4 if write_stats else 2
         else:
             dst, n_pl = 2 - jax.lax.rem(kk, 2) * 2, 2
+        if tight_out:
+            # merge_stats only: out_hbm is never re-read by the kernel, so
+            # it carries NO halo margins — (n_pl, h, w) exactly, and the
+            # caller's post-slice (a full-array copy) disappears
+            row = pl.multiple_of(ti_ * tile_h, 8)
+            col = pl.multiple_of(tj_ * tile_w, 128)
+        else:
+            row = pl.multiple_of(ti_ * tile_h + _HALO, 8)
+            col = pl.multiple_of(tj_ * tile_w + 128, 128)
         return pltpu.make_async_copy(
             out_tile.at[sl],
-            out_hbm.at[
-                pl.ds(dst, n_pl),
-                pl.ds(pl.multiple_of(ti_ * tile_h + _HALO, 8), tile_h),
-                pl.ds(pl.multiple_of(tj_ * tile_w + 128, 128), tw_dma_out),
-            ],
+            out_hbm.at[pl.ds(dst, n_pl), pl.ds(row, tile_h),
+                       pl.ds(col, tw_dma_out)],
             sems.at[5 + sl],
         )
 
@@ -798,7 +862,7 @@ def _fused_level_grads_kernel(
 
     out_tile[slot, 0] = fx_new
     out_tile[slot, 1] = fy_new
-    if merge_stats:
+    if merge_stats and write_stats:
         out_tile[slot, 2] = extend_cols(min_eig)
         out_tile[slot, 3] = extend_cols(validf)
     out_copy(k, ti, tj, slot).start()
@@ -825,7 +889,7 @@ def _fused_level_grads_resident_kernel(
     win_scratch, prev_scratch, flow_scratch, grad_cache, a_cache, out_tile,
     sems,
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
-    area_f, eig_thr, n_iters,
+    area_f, eig_thr, n_iters, prev_row0=0,
 ):
     """Single-tile level with EVERYTHING resident in VMEM across iterations.
 
@@ -846,7 +910,7 @@ def _fused_level_grads_resident_kernel(
     @pl.when(k == 0)
     def _():
         dma_p = pltpu.make_async_copy(
-            prev_hbm.at[pl.ds(0, tile_h + 32),
+            prev_hbm.at[pl.ds(prev_row0, tile_h + 32),
                         pl.ds(0, prev_scratch.shape[-1])],
             prev_scratch, sems.at[0],
         )
@@ -964,13 +1028,20 @@ def make_fused_lk_level_grads_resident(
     local: int = LOCAL,
     win_k: int = 15,
     planes_out: bool = False,
+    prepadded_hw: tuple | None = None,
 ):
     """Single-tile build of the grads level: run(flow_init) ->
     (flow, min_eig, valid) with all level state VMEM-resident across the
     n_iters iterations (see _fused_level_grads_resident_kernel).  Requires
     the (padded) level to fit one tile: H <= 272, W <= 512, H % 8 == 0.
-    planes_out: return flow as (2, H, W) planes (no moveaxis join)."""
-    h, w = next_img.shape
+    planes_out: return flow as (2, H, W) planes (no moveaxis join).
+    prepadded_hw: the TRUE level (h, w) when ``next_img``/``prev_img`` are
+    already in the unified_pad_geometry layout (the video scan's carried
+    frames) — the maker then does no jnp.pad glue."""
+    if prepadded_hw is not None:
+        h, w = prepadded_hw
+    else:
+        h, w = next_img.shape
     tile_h, tile_w = h, w
     assert h <= 272 and w <= 512 and h % 8 == 0, (h, w)
     assert win_k <= 2 * _HALO - 1
@@ -980,14 +1051,28 @@ def make_fused_lk_level_grads_resident(
     etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
     tw_pad = -(-tile_w // 128) * 128
     sh, sw = _win_shape(eth, etw, local)
-    pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
-                                            max_disp, local)
-    next_pad = jnp.pad(next_img.astype(jnp.float32),
-                       ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
-    prev_ext = jnp.pad(
-        prev_img.astype(jnp.float32),
-        ((16, 16), (128, etw_dma_p - 128 - w)), mode="edge",
-    )
+    if prepadded_hw is not None:
+        upt, upb, upl, upr = unified_pad_geometry(tile_h, tile_w, max_disp,
+                                                  local)
+        assert next_img.shape == prev_img.shape == (upt + h + upb,
+                                                    upl + w + upr), (
+            next_img.shape, (upt, upb, upl, upr))
+        # the unified right pad must also cover the resident prev read,
+        # which fetches etw_dma_p (not just etw_dma_p - 128) columns
+        assert upl + w + upr >= etw_dma_p, (upr, etw_dma_p)
+        pad_t, pad_l, prev_row0 = upt, upl, upt - 16
+        next_pad = next_img
+        prev_ext = prev_img
+    else:
+        pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
+                                                max_disp, local)
+        prev_row0 = 0
+        next_pad = jnp.pad(next_img.astype(jnp.float32),
+                           ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
+        prev_ext = jnp.pad(
+            prev_img.astype(jnp.float32),
+            ((16, 16), (128, etw_dma_p - 128 - w)), mode="edge",
+        )
 
     grid = (n_iters,)
     kernel = functools.partial(
@@ -996,6 +1081,7 @@ def make_fused_lk_level_grads_resident(
         max_disp=max_disp, tile_h=tile_h, tile_w=tile_w, local=local,
         win_k=win_k, bound_f=float(max_disp), area_f=float(win_k * win_k),
         eig_thr=float(min_eig_threshold) * 1024.0, n_iters=n_iters,
+        prev_row0=prev_row0,
     )
     call = pl.pallas_call(
         kernel,
@@ -1057,9 +1143,20 @@ def make_fused_lk_level_grads(
     win_k: int = 15,
     coarse_flow: bool = False,
     planes_out: bool = False,
+    prepadded: bool = False,
+    write_stats: bool = True,
 ):
     """Build run(flow_init) -> (flow, min_eig, valid): n_iters fused IC
     iterations with Scharr + structure tensor computed in-kernel.
+
+    prepadded (requires n_iters == 1): ``next_img``/``prev_img`` are ALREADY
+    in the unified_pad_geometry layout (the video scan pads each frame once
+    per level and carries it), outputs leave in a TIGHT (no-margin) buffer,
+    and the maker does no jnp.pad/slice at all — the XLA glue around the
+    kernel drops to the coarse-plane pad.  write_stats=False additionally
+    drops the (min_eig, valid) output planes (levels whose stats nobody
+    reads — everything above level 0 in the pyramid chain); run then
+    returns (flow, None, None).
 
     Unlike ``make_fused_lk_level`` this needs no precomputed ix/iy/A — the
     XLA prologue shrinks to padding prev/next, so it pays off from ONE
@@ -1076,9 +1173,19 @@ def make_fused_lk_level_grads(
     min_eig_threshold is in OpenCV units (scaled by 1024 like flow/dense.py).
     Requires a square window (win_k x win_k) and win_k <= 2*_HALO - 1.
     """
-    h, w = next_img.shape
+    if prepadded:
+        upt, upb, upl, upr = unified_pad_geometry(tile_h, tile_w, max_disp,
+                                                  local)
+        h = next_img.shape[0] - upt - upb
+        w = next_img.shape[1] - upl - upr
+        assert next_img.shape == prev_img.shape == (upt + h + upb,
+                                                    upl + w + upr)
+        assert tile_w % 128 == 0, tile_w   # tight out writes tile exactly
+    else:
+        h, w = next_img.shape
     assert h % tile_h == 0 and w % tile_w == 0, (h, w)
     assert tile_h % 8 == 0 and _HALO == 8 and win_k <= 2 * _HALO - 1
+    assert write_stats or prepadded
     if coarse_flow:
         assert n_iters == 1 and tile_h % 16 == 0 and tile_w % 256 == 0, (
             n_iters, tile_h, tile_w)
@@ -1090,12 +1197,20 @@ def make_fused_lk_level_grads(
     # prev DMA width strictly covers scratch col (tile_w + 136)
     etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
     sh, sw = _win_shape(eth, etw, local)
-    pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
-                                            max_disp, local)
-    next_pad = jnp.pad(next_img.astype(jnp.float32),
-                       ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
-    prev_ext = jnp.pad(prev_img.astype(jnp.float32), ((16, 16), (128, 256)),
-                       mode="edge")
+    if prepadded:
+        assert n_iters == 1, "prepadded requires the merge_stats form"
+        pad_t, pad_l = upt, upl
+        prev_row0 = upt - 16
+        next_pad = next_img
+        prev_ext = prev_img
+    else:
+        pad_t, pad_b, pad_l, pad_r = _asym_pads(tile_h, tile_w, sh, sw,
+                                                max_disp, local)
+        prev_row0 = 0
+        next_pad = jnp.pad(next_img.astype(jnp.float32),
+                           ((pad_t, pad_b), (pad_l, pad_r)), mode="edge")
+        prev_ext = jnp.pad(prev_img.astype(jnp.float32),
+                           ((16, 16), (128, 256)), mode="edge")
 
     gy = _HALO
     hext = h + 2 * gy
@@ -1113,9 +1228,19 @@ def make_fused_lk_level_grads(
         bound_f=float(max_disp), area_f=float(win_k * win_k),
         eig_thr=float(min_eig_threshold) * 1024.0,
         n_iters=n_iters, n_ty=n_ty, n_tx=n_tx, merge_stats=merge_stats,
-        coarse=coarse_flow,
+        coarse=coarse_flow, prev_row0=prev_row0, tight_out=prepadded,
+        write_stats=write_stats,
     )
-    if merge_stats:
+    if merge_stats and prepadded:
+        # tight buffer, no margins, nothing to slice afterwards
+        out_planes = 4 if write_stats else 2
+        out_shapes = (
+            jax.ShapeDtypeStruct((out_planes, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
+        )
+        stats_planes = 1
+        io_aliases = {}
+    elif merge_stats:
         # single iteration: no ping-pong; planes (fx, fy, min_eig, valid)
         # leave in ONE DMA per step; stats buffers shrink to dummies
         out_shapes = (
@@ -1166,6 +1291,19 @@ def make_fused_lk_level_grads(
         return jnp.pad(x.astype(jnp.float32), ((gy, gy), (128, 256)),
                        mode="edge")
 
+    def finish(out):
+        if prepadded:
+            planes = out[0:2]
+        else:
+            planes = out[0:2, gy:gy + h, 128:128 + w]
+        flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
+        if not write_stats:
+            return flow, None, None
+        if prepadded:
+            return flow, out[2], out[3] > 0.5
+        return (flow, out[2, gy:gy + h, 128:128 + w],
+                out[3, gy:gy + h, 128:128 + w] > 0.5)
+
     def run(flow_init: jnp.ndarray):
         if coarse_flow:
             # flow_init: (2, h//2, w//2) coarse flow planes
@@ -1173,20 +1311,12 @@ def make_fused_lk_level_grads(
             buf = jnp.pad(flow_init.astype(jnp.float32),
                           ((0, 0), (8, 8), (128, 128)), mode="edge")
             out, _ = call(next_pad, prev_ext, buf)
-            planes = out[0:2, gy:gy + h, 128:128 + w]
-            flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
-            min_eig = out[2, gy:gy + h, 128:128 + w]
-            valid = out[3, gy:gy + h, 128:128 + w] > 0.5
-            return flow, min_eig, valid
+            return finish(out)
         fx = pad_flow(flow_init[..., 0])
         fy = pad_flow(flow_init[..., 1])
         if merge_stats:
             out, _ = call(next_pad, prev_ext, jnp.stack([fx, fy]))
-            planes = out[0:2, gy:gy + h, 128:128 + w]
-            flow = planes if planes_out else jnp.moveaxis(planes, 0, -1)
-            min_eig = out[2, gy:gy + h, 128:128 + w]
-            valid = out[3, gy:gy + h, 128:128 + w] > 0.5
-            return flow, min_eig, valid
+            return finish(out)
         out, stats = call(next_pad, prev_ext, jnp.stack([fx, fy, fx, fy]))
         s = 2 * (n_iters % 2)
         planes = out[s:s + 2, gy:gy + h, 128:128 + w]

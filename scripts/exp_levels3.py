@@ -81,24 +81,28 @@ def main():
     if sel in ("all", "l0", "fixed"):
         p0, n0 = mk(1088, 2048), mk(1088, 2048)
         cpl = jnp.asarray(rng.random((2, 544, 1024)).astype(np.float32))
-        for th, tw in ([(272, 512), (136, 512)] if sel != "l0"
-                       else [(272, 512)]):
+        ms = diff_time(level_fn(1088, 2048, 272, 512, 1, 3, True),
+                       (p0, n0, cpl)) * 1e3
+        print(f"L0 grads+coarse th=272 tw=512 ( 16 steps): "
+              f"{ms:7.3f} ms  ({ms * 1e3 / 16:5.1f} us/step)")
+        f00 = jnp.zeros((1088, 2048, 2), jnp.float32)
+        # fixed-cost slope: same pixels, 2x/4x step counts (zero-init mode
+        # has a full-res flow DMA instead of the coarse window; slope over
+        # step count still isolates the per-step floor)
+        for th, tw in [(272, 512), (136, 512), (136, 256)]:
             steps = (1088 // th) * (2048 // tw)
-            ms = diff_time(level_fn(1088, 2048, th, tw, 1, 3, True),
-                           (p0, n0, cpl)) * 1e3
-            print(f"L0 grads+coarse th={th} tw={tw} ({steps:3d} steps): "
+            ms = diff_time(level_fn(1088, 2048, th, tw, 1, 3, False),
+                           (p0, n0, f00)) * 1e3
+            print(f"L0 grads zeroinit th={th} tw={tw} ({steps:3d} steps): "
                   f"{ms:7.3f} ms  ({ms * 1e3 / steps:5.1f} us/step)")
 
     if sel in ("all", "l1", "fixed"):
         p1, n1 = mk(544, 1024), mk(544, 1024)
         cpl1 = jnp.asarray(rng.random((2, 272, 512)).astype(np.float32))
-        for th, tw in ([(272, 512), (136, 512)] if sel != "l1"
-                       else [(272, 512)]):
-            steps = (544 // th) * (1024 // tw)
-            ms = diff_time(level_fn(544, 1024, th, tw, 1, 4, True),
-                           (p1, n1, cpl1)) * 1e3
-            print(f"L1 grads+coarse th={th} tw={tw} ({steps:3d} steps): "
-                  f"{ms:7.3f} ms  ({ms * 1e3 / steps:5.1f} us/step)")
+        ms = diff_time(level_fn(544, 1024, 272, 512, 1, 4, True),
+                       (p1, n1, cpl1)) * 1e3
+        print(f"L1 grads+coarse th=272 tw=512 (  4 steps): "
+              f"{ms:7.3f} ms  ({ms * 1e3 / 4:5.1f} us/step)")
 
     if sel in ("all", "l2"):
         p2, n2 = mk(272, 512), mk(272, 512)

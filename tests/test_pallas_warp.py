@@ -386,3 +386,110 @@ class TestPallasPyrDownPair:
         flow = np.asarray(res.flow)[16:-16, 16:-16]
         err = np.hypot(flow[..., 0] - 3.0, flow[..., 1] + 2.0)
         assert err.mean() < 0.1, err.mean()
+
+
+class TestPrepaddedLevels:
+    """The unified-prepadded video chain (zero per-call XLA pad/slice glue)
+    must be value-identical to the per-call-padding kernels: the unified pad
+    regions replicate the same frame edges the per-call jnp.pads produced,
+    and the kernels read the same windows through shifted origins."""
+
+    def _pair(self, rng, h, w):
+        import cv2 as cv
+
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        m = np.float32([[1.002, 0.0005, 1.2], [-0.0005, 0.999, -0.8]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        return jnp.asarray(img), jnp.asarray(nxt)
+
+    def test_prepadded_grads_kernel_parity(self, rng):
+        """prepadded=True (unified layout in, tight out) == the per-call
+        padding maker, bit-for-bit; write_stats=False drops the stats
+        planes without touching the flow."""
+        h, w = 128, 512
+        th, tw, disp, local = 64, 256, 6, 4
+        prv, nxt = self._pair(rng, h, w)
+        coarse = jnp.asarray(
+            (rng.random((2, h // 2, w // 2)).astype(np.float32) - 0.5) * 2.0)
+        legacy = pk.make_fused_lk_level_grads(
+            nxt, prv, n_iters=1, min_eig_threshold=1e-4, max_disp=disp,
+            tile_h=th, tile_w=tw, local=local, coarse_flow=True)
+        fl, me_l, va_l = legacy(coarse)
+        pt, pb, pl_, pr = pk.unified_pad_geometry(th, tw, disp, local)
+        pad = lambda x: jnp.pad(x, ((pt, pb), (pl_, pr)), mode="edge")
+        prep = pk.make_fused_lk_level_grads(
+            pad(nxt), pad(prv), n_iters=1, min_eig_threshold=1e-4,
+            max_disp=disp, tile_h=th, tile_w=tw, local=local,
+            coarse_flow=True, prepadded=True)
+        fp, me_p, va_p = prep(coarse)
+        np.testing.assert_array_equal(np.asarray(fp), np.asarray(fl))
+        np.testing.assert_array_equal(np.asarray(me_p), np.asarray(me_l))
+        np.testing.assert_array_equal(np.asarray(va_p), np.asarray(va_l))
+        nostats = pk.make_fused_lk_level_grads(
+            pad(nxt), pad(prv), n_iters=1, min_eig_threshold=1e-4,
+            max_disp=disp, tile_h=th, tile_w=tw, local=local,
+            coarse_flow=True, prepadded=True, write_stats=False)
+        fn, me_n, va_n = nostats(coarse)
+        assert me_n is None and va_n is None
+        np.testing.assert_array_equal(np.asarray(fn), np.asarray(fl))
+
+    def test_prepadded_resident_parity(self, rng):
+        """prepadded_hw on the VMEM-resident maker == the per-call form."""
+        h, w = 64, 384
+        disp, local = 6, 4
+        prv, nxt = self._pair(rng, h, w)
+        seed = jnp.zeros((h, w, 2), jnp.float32)
+        legacy = pk.make_fused_lk_level_grads_resident(
+            nxt, prv, n_iters=3, min_eig_threshold=1e-4, max_disp=disp,
+            local=local)
+        fl, me_l, va_l = legacy(seed)
+        pt, pb, pl_, pr = pk.unified_pad_geometry(h, w, disp, local)
+        pad = lambda x: jnp.pad(x, ((pt, pb), (pl_, pr)), mode="edge")
+        prep = pk.make_fused_lk_level_grads_resident(
+            pad(nxt), pad(prv), n_iters=3, min_eig_threshold=1e-4,
+            max_disp=disp, local=local, prepadded_hw=(h, w))
+        fp, me_p, va_p = prep(seed)
+        np.testing.assert_array_equal(np.asarray(fp), np.asarray(fl))
+        np.testing.assert_array_equal(np.asarray(me_p), np.asarray(me_l))
+        np.testing.assert_array_equal(np.asarray(va_p), np.asarray(va_l))
+
+    def _video_frames(self, rng, h, w, n):
+        import cv2 as cv
+
+        img = (rng.random((h, w)) * 255).astype(np.float32)
+        img = cv.GaussianBlur(img, (0, 0), 2.0)
+        frames = [img]
+        m = np.float32([[1.002, 0.0005, 1.2], [-0.0005, 0.999, -0.8]])
+        for _ in range(n - 1):
+            frames.append(cv.warpAffine(
+                frames[-1], m, (w, h), flags=cv.INTER_LINEAR,
+                borderMode=cv.BORDER_REFLECT_101))
+        return jnp.asarray(np.stack(frames))
+
+    @pytest.mark.parametrize("warm", [False, True])
+    def test_prepadded_video_chain_matches_percall(self, rng, monkeypatch,
+                                                   warm):
+        """dense_pyramidal_lk_video's prepadded chain (plan active) == the
+        per-call-padding chain (plan monkeypatched away), cold and warm."""
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow import dense
+
+        cfg = LKConfig(max_level=1)
+        d = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
+                          fused_coarse_chain=True, video_warm_start=warm)
+        fr = self._video_frames(rng, 128, 1024, 5 if warm else 4)
+        plan = dense._video_level_plan(
+            cfg, d, dense.pyramid_base_geometry(128, 1024, cfg, d))
+        assert plan is not None
+        out_p = dense.dense_pyramidal_lk_video(fr, cfg, d)
+        monkeypatch.setattr(dense, "_video_level_plan",
+                            lambda *a, **k: None)
+        out_l = dense.dense_pyramidal_lk_video(fr, cfg, d)
+        np.testing.assert_array_equal(np.asarray(out_p.flow),
+                                      np.asarray(out_l.flow))
+        np.testing.assert_array_equal(np.asarray(out_p.min_eig),
+                                      np.asarray(out_l.min_eig))
+        np.testing.assert_array_equal(np.asarray(out_p.valid),
+                                      np.asarray(out_l.valid))
