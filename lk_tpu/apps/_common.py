@@ -54,6 +54,10 @@ def build_parser(desc: str) -> argparse.ArgumentParser:
                    help="live window with the reference's key protocol "
                         "(ESC quit, SPACE pause, BACKSPACE clear overlay); "
                         "needs a display")
+    p.add_argument("--live-plot", action="store_true",
+                   help="with --display: live CP/VP matplotlib scatter "
+                        "updated per drained chunk (reference "
+                        "SHOW_DNMC_PLOT, LK_Final.py:742-776)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -88,14 +92,21 @@ def run_vp_app(cfg: PipelineConfig, args) -> VideoPipeline:
             yield f
 
     if getattr(args, "display", False):
-        from lk_tpu.apps.display import Cv2UI, interactive_loop
+        from lk_tpu.apps.display import Cv2UI, LivePlot, interactive_loop
 
         if not Cv2UI.available():
             raise RuntimeError(
                 "--display needs a GUI (no $DISPLAY found); drop the flag "
                 "to run headless, or use --write-video for the overlay"
             )
-        interactive_loop(pipe, cfg, limited(stream), Cv2UI())
+        live = (LivePlot(pipe.width, pipe.height, window=cfg.vp_ref)
+                if getattr(args, "live_plot", False) else None)
+        try:
+            interactive_loop(pipe, cfg, limited(stream), Cv2UI(),
+                             schematic=True, live_plot=live)
+        finally:
+            if live is not None:
+                live.close()
     else:
         pipe.run(limited(stream), prefetch=getattr(args, "prefetch", 0))
     dt = time.time() - t0

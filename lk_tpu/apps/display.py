@@ -16,6 +16,14 @@ per-frame accumulation).
 The UI backend is injectable: ``Cv2UI`` drives a real window (requires a
 display — gated by ``Cv2UI.available()``); tests script key sequences
 through a stub.
+
+Two further reference presentation behaviors are reproduced here:
+``roi_schematic`` (the startup ROI animation — full trapezoid 200 ms, then
+the four quadrant sub-masks 100 ms each, LK_Final.py:461-477) and
+``LivePlot`` (the live CP/VP matplotlib scatter updated alongside the video
+window — SHOW_DNMC_PLOT / plot_vp + mypause, LK_Final.py:742-776 — here
+refreshed once per drained chunk, the same chunk-granularity deviation as
+the track overlay).
 """
 
 from __future__ import annotations
@@ -56,6 +64,14 @@ class Cv2UI:
         cv.imshow(self.window, frame)
         return cv.waitKey(self.wait_ms) & 0xFF
 
+    def show_hold(self, frame: np.ndarray, ms: int) -> int:
+        """Show and hold for ``ms`` (the ROI schematic's waitKey(200)/100
+        beats, LK_Final.py:462-477)."""
+        import cv2 as cv
+
+        cv.imshow(self.window, frame)
+        return cv.waitKey(ms) & 0xFF
+
     def wait_key(self) -> int:
         import cv2 as cv
 
@@ -65,6 +81,83 @@ class Cv2UI:
         import cv2 as cv
 
         cv.destroyWindow(self.window)
+
+
+def roi_schematic(ui, cfg, width: int, height: int) -> bool:
+    """Startup ROI schematic animation (reference LK_Final.py:461-477):
+    the full trapezoid mask held 200 ms, then each of the four quadrant
+    sub-masks 100 ms.  Returns False if ESC was pressed during it."""
+    from lk_tpu.ops.rasterize import build_roi_masks
+
+    full, subs = build_roi_masks(width, height, cfg.roi)
+    show = getattr(ui, "show_hold", None) or (lambda f, ms: ui.show(f))
+    frames = [(np.asarray(full, np.uint8) * 255, 200)]
+    frames += [(np.asarray(s, np.uint8) * 255, 100) for s in subs]
+    for img, ms in frames:
+        if show(img, ms) == ESC:
+            return False
+    return True
+
+
+class LivePlot:
+    """Live CP/VP scatter window (reference SHOW_DNMC_PLOT: plot_vp +
+    mypause, LK_Final.py:742-776), refreshed once per drained chunk.
+
+    Same marks as the headless ``viz.plot_vp_figure``: red frame center,
+    yellow recent cross points, blue VP history, black current VP.  On an
+    interactive matplotlib backend the canvas redraws through a bounded
+    event-loop tick so the cv2 window keeps focus (the reference's
+    ``mypause`` exists for exactly that); on Agg (headless / tests) it
+    just renders the figure.
+    """
+
+    def __init__(self, width: int, height: int, window: int = 300,
+                 interval: float = 0.01):
+        import matplotlib
+        import matplotlib.pyplot as plt
+
+        self._mpl, self._plt = matplotlib, plt
+        self.width, self.height = width, height
+        self.window, self.interval = window, interval
+        self.fig = plt.figure(figsize=(12, 8), dpi=80)
+        self.updates = 0
+
+    def update(self, vp_history, cross_points, vp) -> None:
+        ax = self.fig.gca()
+        ax.clear()
+        w, h, win = self.width, self.height, self.window
+        ax.set_title(f"Recent {win} Points")
+        ax.scatter([w / 2], [h / 2], 100, "r")
+        cp = np.asarray(cross_points, np.float64).reshape(-1, 2)[-win:]
+        if len(cp):
+            ax.scatter(cp[:, 0], cp[:, 1], 10, "y")
+        hist = np.asarray(vp_history, np.float64).reshape(-1, 2)[-win:]
+        if len(hist):
+            ax.scatter(hist[:, 0], hist[:, 1], 20, "b")
+        if vp is not None and np.isfinite(vp).all():
+            ax.scatter([vp[0]], [vp[1]], 100, "black")
+        ax.legend(["center", "cross points", "VPs history", "VP"])
+        # fixed viewport, y inverted (reference LK_Final.py:763-765)
+        ax.set_aspect("equal")
+        ax.set_xlim(w // 3, w // 3 * 2)
+        ax.set_ylim(h // 4 * 3, h // 3)
+        self.updates += 1
+        self._refresh()
+
+    def _refresh(self) -> None:
+        plt, mpl = self._plt, self._mpl
+        if plt.rcParams["backend"] in getattr(mpl.rcsetup,
+                                              "interactive_bk", ()):
+            mgr = mpl._pylab_helpers.Gcf.get_active()
+            if mgr is not None:
+                if mgr.canvas.figure.stale:
+                    mgr.canvas.draw()
+                mgr.canvas.start_event_loop(self.interval)
+                return
+        self.fig.canvas.draw()
+
+    def close(self) -> None:
+        self._plt.close(self.fig)
 
 
 def _render(raw, poly, vp_xy, draw_mask, fps):
@@ -87,13 +180,17 @@ def _render(raw, poly, vp_xy, draw_mask, fps):
 
 
 def interactive_loop(pipe, cfg, frames, ui,
-                     draw_mask: Optional[np.ndarray] = None) -> bool:
+                     draw_mask: Optional[np.ndarray] = None,
+                     schematic: bool = False,
+                     live_plot: Optional["LivePlot"] = None) -> bool:
     """Feed ``frames`` through ``pipe`` chunk-wise, displaying each frame.
 
     Returns True if the stream completed, False on ESC quit.  ``ui`` must
     provide ``show(frame) -> keycode``, ``wait_key() -> keycode``, and
     ``close()``.  ``draw_mask`` is the accumulating track overlay (created
     fresh when None; injectable so tests can observe the BACKSPACE clear).
+    ``schematic`` plays the startup ROI animation first; ``live_plot`` (a
+    ``LivePlot``) refreshes the CP/VP scatter after every drained chunk.
     """
     import cv2 as cv
 
@@ -112,6 +209,9 @@ def interactive_loop(pipe, cfg, frames, ui,
     def show_chunk(chunk_frames) -> bool:
         nonlocal seg_seen, vp_seen
         pipe.drain()
+        if live_plot is not None:
+            vp = pipe.csv_rows[-1] if pipe.csv_rows else None
+            live_plot.update(pipe.csv_rows, pipe.cross_points, vp)
         for seg in pipe.segments[seg_seen:]:
             a, b = seg["start"], seg["stop"]
             color = tuple(int(c) for c in rng.integers(0, 255, 3))
@@ -138,6 +238,9 @@ def interactive_loop(pipe, cfg, frames, ui,
 
     pipe.drain_every = 1
     try:
+        if schematic and not roi_schematic(ui, cfg, w, h):
+            completed = False
+            return False
         for f in frames:
             buf.append(f)
             if len(buf) < pipe.chunk + (1 if pipe.state is None else 0):

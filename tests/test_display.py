@@ -105,3 +105,57 @@ def test_backspace_clears_track_overlay():
     np.testing.assert_array_equal(ui_ctl.shown[1][60:], ui_clr.shown[1][60:])
     assert (ui_clr.shown[2][60:].astype(int).sum()
             < ui_ctl.shown[2][60:].astype(int).sum())
+
+
+def test_roi_schematic_plays_then_frames():
+    """schematic=True shows the full ROI mask + 4 quadrant sub-masks first
+    (LK_Final.py:461-477), then the processed frames as usual."""
+    cfg = PipelineConfig(width=W)
+    pipe = VideoPipeline(cfg, src_size=(W, H), chunk=4)
+    scene = SyntheticRoadStream(width=W, height=H, n_frames=F, zoom=1.03)
+    ui = ScriptedUI()
+    done = interactive_loop(pipe, cfg, iter(scene), ui, schematic=True)
+    assert done
+    assert len(ui.shown) == 5 + F - 1
+    # the schematic frames are binary masks at the pipeline geometry
+    for img in ui.shown[:5]:
+        assert img.shape == (pipe.height, pipe.width)
+        assert set(np.unique(img)) <= {0, 255}
+    # full trapezoid covers all four quadrant sub-masks
+    full = ui.shown[0].astype(bool)
+    quads = np.stack([s.astype(bool) for s in ui.shown[1:5]])
+    assert (quads.any(0) <= full).all()
+    assert ui.shown[5].ndim == 3  # then the video frames
+
+
+def test_esc_during_schematic_quits():
+    cfg = PipelineConfig(width=W)
+    pipe = VideoPipeline(cfg, src_size=(W, H), chunk=4)
+    scene = SyntheticRoadStream(width=W, height=H, n_frames=F, zoom=1.03)
+    ui = ScriptedUI(keys=[255, ESC])
+    done = interactive_loop(pipe, cfg, iter(scene), ui, schematic=True)
+    assert not done
+    assert len(ui.shown) == 2      # quit inside the animation
+    assert ui.closed
+    assert pipe.frames_done == 0   # nothing was fed
+
+
+def test_live_plot_updates_per_chunk():
+    """LivePlot (reference SHOW_DNMC_PLOT) refreshes once per drained
+    chunk and renders on the headless Agg backend."""
+    from lk_tpu.apps.display import LivePlot
+
+    cfg = PipelineConfig(width=W)
+    pipe = VideoPipeline(cfg, src_size=(W, H), chunk=4)
+    scene = SyntheticRoadStream(width=W, height=H, n_frames=F, zoom=1.03)
+    lp = LivePlot(W, H, window=cfg.vp_ref)
+    try:
+        done = interactive_loop(pipe, cfg, iter(scene), ScriptedUI(),
+                                live_plot=lp)
+        assert done
+        # 9 frames / chunk 4: one init+4 chunk, then one 4-frame chunk
+        assert lp.updates == 2
+        rgba = np.asarray(lp.fig.canvas.buffer_rgba())
+        assert rgba.shape[0] > 0 and (rgba[..., :3] < 250).any()
+    finally:
+        lp.close()
