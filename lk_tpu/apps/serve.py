@@ -51,6 +51,18 @@ def main(argv=None):
                         "under the axon tunnel (~36 MB/s host->device) this "
                         "measures the tunnel, not the chip; on a real TPU "
                         "host (PCIe) it is the production serving mode")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="stage u8 grays at SOURCE resolution and run the "
+                        "reference's fixed-width INTER_AREA resize "
+                        "(LK_Final.py:429,517) ON DEVICE inside the timed "
+                        "window — BASELINE config #5's stated geometry "
+                        "(e.g. --width 1920 --height 1080).  Watch HBM: "
+                        "staging is F*B*H*W bytes")
+    p.add_argument("--preset", default="final",
+                   choices=("final", "vp_detect", "classify"),
+                   help="pipeline preset (models.PRESETS); 'classify' is "
+                        "the LK3 motion-classification configuration "
+                        "BASELINE config #5 names")
     p.add_argument("--out-cap", type=int, default=48,
                    help="per-frame average budget for the device-side "
                         "output-row compaction (PipelineConfig.out_cap); "
@@ -68,7 +80,9 @@ def main(argv=None):
     # readback, 58% of the B=64 serving wall (BENCH_NOTES.md).  48/frame
     # avg per 16-frame chunk = 768-row budget vs measured p99 ~100 peaks
     # on single frames, mean ~14.
-    cfg = dataclasses.replace(PipelineConfig(), out_cap=args.out_cap)
+    from lk_tpu.models import PRESETS
+
+    cfg = dataclasses.replace(PRESETS[args.preset], out_cap=args.out_cap)
     if jax.default_backend() != "cpu":
         # Pallas window gather for the batched tracker (TPU-only Mosaic
         # kernel; the vmapped dynamic_slice path stays for CPU/tests) +
@@ -114,12 +128,24 @@ def main(argv=None):
         # slice+finish+scan into one dispatch (scripts/exp_feed_split.py).
         import cv2 as cv
 
-        h, w = server.height, server.width
-        u8 = np.empty((args.frames, args.streams, h, w), np.uint8)
-        for b in range(args.streams):
-            for t in range(args.frames):
-                g = cv.cvtColor(scenes[b].frame(t), cv.COLOR_BGR2GRAY)
-                u8[t, b] = cv.resize(g, (w, h), interpolation=cv.INTER_AREA)
+        if args.device_preprocess:
+            # SOURCE-resolution staging: gray conversion on host (decode's
+            # job), the 1080p->processing-size INTER_AREA resize runs on
+            # device inside the timed feed (feed_staged src_hw path)
+            h, w = args.height, args.width
+            u8 = np.empty((args.frames, args.streams, h, w), np.uint8)
+            for b in range(args.streams):
+                for t in range(args.frames):
+                    u8[t, b] = cv.cvtColor(scenes[b].frame(t),
+                                           cv.COLOR_BGR2GRAY)
+        else:
+            h, w = server.height, server.width
+            u8 = np.empty((args.frames, args.streams, h, w), np.uint8)
+            for b in range(args.streams):
+                for t in range(args.frames):
+                    g = cv.cvtColor(scenes[b].frame(t), cv.COLOR_BGR2GRAY)
+                    u8[t, b] = cv.resize(g, (w, h),
+                                         interpolation=cv.INTER_AREA)
         grays = jnp.asarray(u8)
         grays.block_until_ready()
         decode_busy = None
@@ -137,9 +163,11 @@ def main(argv=None):
     agg = total / dt
     if not args.quiet:
         print(f"streams: {args.streams}  frames: {total}  wall: {dt:.2f}s")
+        src = (f" from {args.width}x{args.height} source, on-device "
+               f"preprocess" if args.device_preprocess else "")
         print(f"aggregate: {agg:.1f} frames/s/chip "
               f"({agg / 30:.1f} x 30fps streams/chip at "
-              f"{server.width}x{server.height})")
+              f"{server.width}x{server.height}{src})")
         if decode_busy is not None:
             print(f"decode busy (all threads): {decode_busy:.2f}s "
                   f"across {args.streams} workers — overlap "

@@ -470,7 +470,8 @@ def _cached_slot_swap():
 
 @functools.lru_cache(maxsize=64)
 def _cached_staged_feed(cfg: PipelineConfig, frame_size: Tuple[int, int],
-                        n: int, mesh=None, mesh_axis: str = "streams"):
+                        n: int, mesh=None, mesh_axis: str = "streams",
+                        src_hw: Optional[Tuple[int, int]] = None):
     """ONE jit for a staged serving feed iteration: dynamic-slice n frame
     batches out of a time-major (F, B, H, W) u8 staging array, finish
     (u8->f32 [+tone] + blur) and run the chunk scan — no intermediate
@@ -479,17 +480,29 @@ def _cached_staged_feed(cfg: PipelineConfig, frame_size: Tuple[int, int],
     (scripts/exp_feed_split.py; the (F, B) layout also makes the chunk
     slice contiguous and lets XLA cancel the scan's (B,T)->(T,B) swap).
 
+    src_hw: staging holds SOURCE-resolution u8 grays (e.g. 1080x1920) and
+    the reference's fixed-width INTER_AREA resize (LK_Final.py:429,517 via
+    imutils) runs ON DEVICE inside this same dispatch, before finish — the
+    end-to-end serving form where the 1080p->processing-size preprocess is
+    chip work in the timed window (BASELINE config #5's stated geometry).
+
     With a mesh, the WHOLE staged iteration (slice + finish + chunk scan)
     shard_maps over ``mesh_axis``: staging stays sharded on its stream
     axis (spec (None, streams)) so no frame bytes ever cross ICI."""
+    from lk_tpu.ops.resize import resize_area
+
     run_b, _ = _cached_batched_runner(cfg, frame_size)
     finish = _cached_finish(cfg)
     w, h = frame_size
+    sh_, sw_ = src_hw if src_hw is not None else (h, w)
 
     def staged(states, staging_fb, t):
-        c = jax.lax.dynamic_slice_in_dim(staging_fb, t, n, 0)  # (n,B,h,w)
+        c = jax.lax.dynamic_slice_in_dim(staging_fb, t, n, 0)  # (n,B,hs,ws)
         b = c.shape[1]
-        g = finish(c.reshape(n * b, h, w)).reshape(n, b, h, w)
+        g = c.reshape(n * b, sh_, sw_)
+        if src_hw is not None:
+            g = resize_area(g, h, w)      # MXU matmuls, f32 HIGHEST
+        g = finish(g).reshape(n, b, h, w)
         return run_b(states, jnp.swapaxes(g, 0, 1))
 
     if mesh is None:
@@ -680,10 +693,24 @@ class MultiStreamPipeline:
         (see _cached_staged_feed).  The u8 layout keeps HBM staging 4x
         smaller than f32 and the time-major axis makes the slice
         contiguous.  First call consumes one frame for initialization.
-        ``n_valid`` as in :meth:`feed_processed`."""
+
+        Staging at the processing size (H, W) == (height, width) feeds
+        directly; staging at SOURCE resolution (e.g. 1080x1920 grays)
+        additionally runs the reference's fixed-width INTER_AREA resize
+        (LK_Final.py:429,517) on device inside the same dispatch — the
+        BASELINE-config-#5 serving form with preprocess in the timed
+        window.  ``n_valid`` as in :meth:`feed_processed`."""
         assert staging_fb.shape[1] == self.n_streams
+        src_hw = tuple(int(d) for d in staging_fb.shape[2:])
+        if src_hw == (self.height, self.width):
+            src_hw = None
         if self.states is None:
-            self.states = self._vinit(self._finish(staging_fb[t]))
+            first = staging_fb[t]
+            if src_hw is not None:
+                from lk_tpu.ops.resize import resize_area
+
+                first = resize_area(first, self.height, self.width)
+            self.states = self._vinit(self._finish(first))
             for p in self.pipes:
                 p.consumed_init_frame = True
             t += 1
@@ -692,7 +719,7 @@ class MultiStreamPipeline:
                 return
         fn = _cached_staged_feed(
             self.cfg, (self.width, self.height), n, self.mesh,
-            self.mesh_axis)
+            self.mesh_axis, src_hw)
         self.states, outs = fn(self.states, staging_fb, t)
         self._pending.append((outs, self._chunk_valid(n, n_valid),
                               list(self.pipes)))

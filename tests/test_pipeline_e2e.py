@@ -353,3 +353,51 @@ def test_staged_feed_matches_processed_feed(scene):
             np.array(p.csv_rows, np.float64).reshape(-1, 2),
             np.array(q.csv_rows, np.float64).reshape(-1, 2), atol=1e-4)
         assert len(p.cross_points) == len(q.cross_points)
+
+
+def test_staged_feed_src_resolution_matches_processed():
+    """feed_staged with SOURCE-resolution u8 staging (the on-device
+    INTER_AREA resize runs inside the fused dispatch — BASELINE config #5's
+    end-to-end serving form) == feed_processed given the same resize+finish
+    applied via the identical ops."""
+    import dataclasses
+
+    import cv2 as cv
+
+    from lk_tpu.ops.resize import resize_area
+    from lk_tpu.pipeline.runner import MultiStreamPipeline
+
+    cfg = dataclasses.replace(PipelineConfig(), out_cap=48)
+    b, f, chunk = 2, 16, 8
+    src = SyntheticRoadStream(width=1280, height=720, zoom=1.03, seed=3,
+                              n_frames=f)
+    hs, ws = src.height, src.width
+    ms_kw = dict(src_size=(ws, hs), n_streams=b, chunk=chunk)
+    ref = MultiStreamPipeline(cfg, **ms_kw)
+    staged = MultiStreamPipeline(cfg, **ms_kw)
+    h, w = ref.height, ref.width
+    assert (h, w) != (hs, ws)   # the resize must be real
+
+    u8 = np.empty((f, b, hs, ws), np.uint8)
+    for t in range(f):
+        u8[t] = cv.cvtColor(src.frame(t), cv.COLOR_BGR2GRAY)[None]
+    src_fb = jnp.asarray(u8)
+
+    finish = ref.pipes[0]._finish_jit
+    t = 0
+    while t < f:
+        n = min(chunk + (1 if ref.states is None else 0), f - t)
+        flat = src_fb[t:t + n].reshape(n * b, hs, ws)
+        chunk_f32 = finish(resize_area(flat, h, w)).reshape(n, b, h, w)
+        ref.feed_processed(jnp.swapaxes(chunk_f32, 0, 1))
+        staged.feed_staged(src_fb, t, n)
+        t += n
+    ref.drain()
+    staged.drain()
+
+    for p, q in zip(staged.pipes, ref.pipes):
+        assert p.frames_done == q.frames_done
+        np.testing.assert_allclose(
+            np.array(p.csv_rows, np.float64).reshape(-1, 2),
+            np.array(q.csv_rows, np.float64).reshape(-1, 2), atol=1e-4)
+        assert len(p.cross_points) == len(q.cross_points)
