@@ -227,3 +227,57 @@ def test_batched_fast_pyramid_parity(rng):
     both = np.asarray(es) & np.asarray(fs)
     d = np.linalg.norm(np.asarray(exact) - np.asarray(fast), axis=-1)[both]
     assert d.mean() < 0.02 and d.max() < 0.1, (d.mean(), d.max())
+
+
+def test_row_band_exit_and_reenter_parity(rng):
+    """Points leaving the band's ROI rows mid-track (the VERDICT corner:
+    exit and possibly re-enter across the band margin in ONE frame) track
+    identically banded and unbanded while the motion stays inside the
+    documented envelope (_BAND_MARGIN fetch slack), and produce NO false
+    in-band survivors beyond it.
+
+    Scene: strong DOWNWARD shifts push points seeded at the band's bottom
+    edge well outside the band rows; one shift is also beyond what LK can
+    track so status parity is exercised too."""
+    import cv2 as cv
+
+    from lk_tpu.flow.sparse import track_points_batched
+
+    h, w, n = 256, 512, 10
+    band = (96, 160)
+    img = (rng.random((h, w)) * 255).astype(np.float32)
+    img = cv.GaussianBlur(img, (0, 0), 1.8)
+    for dy in (12.0, 24.0, 40.0, 80.0):
+        m = np.float32([[1, 0, 3.0], [0, 1, dy]])
+        nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                            borderMode=cv.BORDER_REFLECT_101)
+        # points hugging the band's bottom rows: their true targets land
+        # dy rows BELOW the band (outside it for every dy here)
+        pts = np.stack([
+            rng.uniform(32, w - 32, n),
+            rng.uniform(band[1] - 10, band[1] - 2, n),
+        ], -1).astype(np.float32)
+        valid = jnp.ones((1, n), bool)
+        args = (jnp.asarray(img[None]), jnp.asarray(nxt[None]),
+                jnp.asarray(pts[None]), valid)
+        up, us, _ = track_points_batched(*args)
+        bp, bs, _ = track_points_batched(*args, row_band=band)
+        up, us = np.asarray(up[0]), np.asarray(us[0])
+        bp, bs = np.asarray(bp[0]), np.asarray(bs[0])
+        if dy <= 40.0:
+            # inside the envelope (level-0 crop reaches r1 + 64 = 224;
+            # targets + the 24-row superwindow stay under it): bit-for-bit
+            # the same track
+            np.testing.assert_array_equal(bs, us, err_msg=f"dy={dy}")
+            np.testing.assert_allclose(bp, up, atol=1e-4,
+                                       err_msg=f"dy={dy}")
+        else:
+            # beyond the envelope the banded crop may clamp — but it must
+            # not RESCUE points: anything the banded tracker reports as
+            # alive landing back inside the band rows must agree with the
+            # unbanded tracker (no false in-band survivors)
+            inband = bs & (bp[:, 1] >= band[0]) & (bp[:, 1] < band[1])
+            assert not inband.any() or (
+                us[inband].all()
+                and np.allclose(bp[inband], up[inband], atol=0.5)
+            ), (bp[inband], up[inband])
