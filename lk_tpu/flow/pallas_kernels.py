@@ -497,7 +497,7 @@ def _fused_level_kernel(
 
 def _boxsum_tile_mxu(p, win_k: int, tile_h: int, tile_w: int):
     """win_k x win_k box sum of the extended-region array ``p`` at the tile
-    pixels, as two banded matmuls on the MXU: out = R @ (p @ C) with 0/1
+    pixels, as banded matmuls on the MXU: out = R @ (p @ C) with 0/1
     band matrices built from iota (R[r, j] = [j in r+1 .. r+win_k]).
 
     The shifted-add form costs win_k lane-offset slices per axis — each a
@@ -506,22 +506,68 @@ def _boxsum_tile_mxu(p, win_k: int, tile_h: int, tile_w: int):
     once to bf16 runs the MXU at full rate with f32 accumulation
     (preferred_element_type); the data rounding is <= 1e-2 relative, gated
     end-to-end by bench.py's EPE check.
+
+    Where the geometry allows, the band matmuls are BLOCKED: the dense
+    forms waste MACs on the zero band tails (at the L0 272x512 tile the
+    column pass is 288x528x512 and the row pass 272x288x512 per sum —
+    118M MACs).  Splitting the column pass into 128-output-column chunks
+    (each consuming a 256-col input slice) and the row pass into two
+    tile_h/2-row chunks (160-row slices) sums the SAME win_k values with
+    ~60M MACs — measured 22.7 -> 18.8 us/tile on the full L0 grads kernel
+    (scripts/exp_l0_ablate.py), output differing only in MXU accumulation
+    order (<= 5e-7 on image-scale data).  Packing several planes through
+    one axis-0 concat does NOT work: Mosaic rejects concatenating vectors
+    whose lane offsets differ ("offset mismatch on non-concat dimension").
     """
     eth, etw = p.shape
-    jc = jax.lax.broadcasted_iota(jnp.int32, (etw, tile_w), 0)
-    ic = jax.lax.broadcasted_iota(jnp.int32, (etw, tile_w), 1)
-    cmat = ((jc >= ic + 1) & (jc <= ic + win_k)).astype(jnp.bfloat16)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (tile_h, eth), 0)
-    jr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, eth), 1)
-    rmat = ((jr >= ir + 1) & (jr <= ir + win_k)).astype(jnp.bfloat16)
-    pc = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), cmat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return jax.lax.dot_general(
-        rmat, pc.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    kc, kr = 256, 160
+    rh = tile_h // 2
+    col_ok = (tile_w % 128 == 0 and etw >= kc
+              and (tile_w - 128) - (etw - kc) + 127 + win_k <= kc - 1)
+    row_ok = (tile_h % 16 == 0 and eth >= kr and (eth - kr) % 8 == 0
+              and max(0, rh - (eth - kr)) + rh - 1 + win_k <= kr - 1)
+    if not (col_ok and row_ok):
+        jc = jax.lax.broadcasted_iota(jnp.int32, (etw, tile_w), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (etw, tile_w), 1)
+        cmat = ((jc >= ic + 1) & (jc <= ic + win_k)).astype(jnp.bfloat16)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (tile_h, eth), 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, eth), 1)
+        rmat = ((jr >= ir + 1) & (jr <= ir + win_k)).astype(jnp.bfloat16)
+        pc = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), cmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.dot_general(
+            rmat, pc.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    pb = p.astype(jnp.bfloat16)
+    cols = []
+    for c in range(tile_w // 128):
+        base = min(c * 128, etw - kc)
+        off = c * 128 - base
+        jc = jax.lax.broadcasted_iota(jnp.int32, (kc, 128), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (kc, 128), 1)
+        cmat = ((jc >= ic + off + 1)
+                & (jc <= ic + off + win_k)).astype(jnp.bfloat16)
+        cols.append(jax.lax.dot_general(
+            pb[:, base:base + kc], cmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    pc = (jnp.concatenate(cols, axis=1)
+          if len(cols) > 1 else cols[0]).astype(jnp.bfloat16)
+    rows = []
+    for rc in range(2):
+        r0 = rc * rh
+        kb = min(r0, eth - kr)
+        roff = r0 - kb
+        ir = jax.lax.broadcasted_iota(jnp.int32, (rh, kr), 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (rh, kr), 1)
+        rmat = ((jr >= ir + roff + 1)
+                & (jr <= ir + roff + win_k)).astype(jnp.bfloat16)
+        rows.append(jax.lax.dot_general(
+            rmat, pc[kb:kb + kr], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _upsample2_band(n_out: int, n_in: int, off: int, scale: float,

@@ -95,6 +95,122 @@ def _warp_finish_rolly(state, fx, fy, y0, x0, scratch,
     return out
 
 
+def _boxsum_blocked_multi(ps, win_k, tile_h, tile_w):
+    """Band-BLOCKED form of _boxsum_tile_mxu over several planes at once.
+
+    The dense band matmuls waste MACs on the zero band tails: at L0
+    geometry (288x528 ext, 272x512 tile) the column pass is 288x528x512
+    and the row pass 272x288x512 per plane — 118M MACs/sum.  Blocking the
+    column pass into 128-output-column chunks (each consuming a 256-col
+    input slice) and the row pass into tile_h/2-row chunks (160-row input
+    slices) cuts that to ~60M.  (Packing planes through one axis-0 concat
+    fails in Mosaic: "offset mismatch on non-concat dimension" — the
+    product planes carry different lane offsets.)  Band matrices stay
+    exact 0/1 bf16; f32 accumulation; the same win_k values are summed, so
+    outputs match the dense form up to MXU accumulation order.
+    """
+    eth, etw = ps[0].shape
+    kc = 256
+    rh = tile_h // 2
+    kr = 160
+    assert tile_w % 128 == 0 and etw >= kc and rh % 8 == 0 and eth >= kr
+    outs = []
+    for p in ps:
+        pb = p.astype(jnp.bfloat16)
+        cols = []
+        for c in range(tile_w // 128):
+            base = min(c * 128, etw - kc)
+            off = c * 128 - base
+            assert off + 127 + win_k <= kc - 1, (off, win_k, kc)
+            jc = jax.lax.broadcasted_iota(jnp.int32, (kc, 128), 0)
+            ic = jax.lax.broadcasted_iota(jnp.int32, (kc, 128), 1)
+            cmat = ((jc >= ic + off + 1)
+                    & (jc <= ic + off + win_k)).astype(jnp.bfloat16)
+            cols.append(jax.lax.dot_general(
+                pb[:, base:base + kc], cmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        pc = (jnp.concatenate(cols, axis=1)
+              if len(cols) > 1 else cols[0]).astype(jnp.bfloat16)
+        rows = []
+        for rc in range(2):
+            r0 = rc * rh
+            kb = min(r0, eth - kr)
+            roff = r0 - kb
+            assert roff % 8 == 0 and roff + rh - 1 + win_k <= kr - 1
+            ir = jax.lax.broadcasted_iota(jnp.int32, (rh, kr), 0)
+            jr = jax.lax.broadcasted_iota(jnp.int32, (rh, kr), 1)
+            rmat = ((jr >= ir + roff + 1)
+                    & (jr <= ir + roff + win_k)).astype(jnp.bfloat16)
+            rows.append(jax.lax.dot_general(
+                rmat, pc[kb:kb + kr], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(rows, axis=0))
+    return outs
+
+
+def _warp_start_nostart(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
+                        *, pad_y, pad_x, max_disp, local):
+    """_warp_start minus the dma.start(): the caller gates the issue (the
+    dma_once mode issues/waits only at s==0, reusing a stale window — the
+    timing isolates how much of the per-step warp DMA is EXPOSED, i.e. not
+    hidden behind the MXU/scharr work between issue and wait)."""
+    bound = jnp.float32(max_disp)
+    dy0 = jnp.round(jnp.clip(ref_fy, -bound, bound)).astype(jnp.int32)
+    dx0 = jnp.round(jnp.clip(ref_fx, -bound, bound)).astype(jnp.int32)
+    src_y_raw = y0 + pad_y + dy0 - local
+    src_x_raw = x0 + pad_x + dx0 - local
+    src_y = pl.multiple_of((src_y_raw // 8) * 8, 8)
+    src_x = pl.multiple_of((src_x_raw // 128) * 128, 128)
+    sh, sw = scratch.shape
+    dma = pltpu.make_async_copy(
+        next_hbm.at[pl.ds(src_y, sh), pl.ds(src_x, sw)], scratch, sem
+    )
+    return dma, src_y_raw, src_x_raw, src_y, src_x
+
+
+def _warp_finish_optwait(state, fx, fy, y0, x0, scratch, wait_pred,
+                         *, h, w, pad_y, pad_x, max_disp, th, tw, local):
+    """Library _warp_finish with the dma.wait() gated on ``wait_pred``
+    (dma_once mode: the issue was gated the same way)."""
+    from lk_tpu.flow.pallas_kernels import _tent_gather
+
+    dma, src_y_raw, src_x_raw, src_y, src_x = state
+    bound = jnp.float32(max_disp)
+    extra_y = src_y_raw - src_y
+    extra_x = src_x_raw - src_x
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
+        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(
+        jnp.float32)
+    gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
+    gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
+    rel_y = jnp.clip(
+        gy - (src_y_raw - pad_y).astype(jnp.float32) - rows, 0.0, 2.0 * local
+    )
+    rel_x = jnp.clip(
+        gx - (src_x_raw - pad_x).astype(jnp.float32) - cols, 0.0, 2.0 * local
+    )
+
+    @pl.when(wait_pred)
+    def _():
+        dma.wait()
+
+    win = pltpu.roll(scratch[:].astype(jnp.float32), shift=-extra_x, axis=1)
+    vw = tw + 2 * local + 1
+    wp = -(-vw // 128) * 128
+    win = win[:, :wp]
+    for bit in (1, 2, 4):
+        r = pltpu.roll(win, shift=win.shape[0] - bit, axis=0)
+        win = jnp.where((extra_y & bit) != 0, r, win)
+
+    def widen(a):
+        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, wp - tw))
+        return jnp.concatenate([a, tail], axis=1)
+
+    vert = _tent_gather(win, widen(rel_y), axis=0, out_len=th, local=local)
+    return _tent_gather(vert, rel_x, axis=1, out_len=tw, local=local)
+
+
 def _kernel(
     next_hbm, prev_hbm, flowbuf_hbm,
     out_hbm, stats_hbm,
@@ -102,6 +218,7 @@ def _kernel(
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
     area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats,
     do_warp, do_asums, do_bsums, do_scharr, warp_mode="base",
+    boxsum_mode="dense",
 ):
     k = pl.program_id(0)
     ti = pl.program_id(1)
@@ -178,11 +295,22 @@ def _kernel(
 
     y0 = ti * tile_h
     x0 = tj * tile_w
-    wstate = _warp_start(
-        next_hbm, fx_w[eth // 2, etw // 2], fy_w[eth // 2, etw // 2],
-        y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
-        pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
-    )
+    if warp_mode == "dma_once":
+        wstate = _warp_start_nostart(
+            next_hbm, fx_w[eth // 2, etw // 2], fy_w[eth // 2, etw // 2],
+            y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+            pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
+        )
+
+        @pl.when(s == 0)
+        def _():
+            wstate[0].start()
+    else:
+        wstate = _warp_start(
+            next_hbm, fx_w[eth // 2, etw // 2], fy_w[eth // 2, etw // 2],
+            y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+            pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
+        )
 
     at_row_end = tj == n_tx - 1
     nti = jnp.where(at_row_end, ti + 1, ti)
@@ -216,9 +344,14 @@ def _kernel(
     prev_w = p[8:8 + eth, 120:120 + etw]
 
     if do_asums:
-        a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
-        a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
-        a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
+        if boxsum_mode == "blocked":
+            a11, a12, a22 = _boxsum_blocked_multi(
+                [ix_w * ix_w, ix_w * iy_w, iy_w * iy_w],
+                win_k, tile_h, tile_w)
+        else:
+            a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
+            a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
+            a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
     else:
         a11 = jnp.full((tile_h, tile_w), 3.0, jnp.float32)
         a12 = jnp.full((tile_h, tile_w), 0.1, jnp.float32)
@@ -240,20 +373,33 @@ def _kernel(
         )
 
     if do_warp:
-        fin = _warp_finish if warp_mode == "base" else _warp_finish_rolly
-        jw = fin(
-            wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
-            h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
-            th=eth, tw=etw, local=local,
-        )
+        if warp_mode == "dma_once":
+            jw = _warp_finish_optwait(
+                wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
+                s == 0,
+                h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+                th=eth, tw=etw, local=local,
+            )
+        else:
+            fin = (_warp_finish if warp_mode == "base"
+                   else _warp_finish_rolly)
+            jw = fin(
+                wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
+                h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+                th=eth, tw=etw, local=local,
+            )
     else:
         wstate[0].wait()
         jw = prev_w * 1.0001
 
     r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
     if do_bsums:
-        b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
-        b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
+        if boxsum_mode == "blocked":
+            b1, b2 = _boxsum_blocked_multi(
+                [ix_w * r, iy_w * r], win_k, tile_h, tile_w)
+        else:
+            b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
+            b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
     else:
         b1 = r[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w] * 2.0
         b2 = r[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w] * 3.0
@@ -390,6 +536,9 @@ def main():
     base = dict(do_warp=True, do_asums=True, do_bsums=True, do_scharr=True)
     cases = [
         ("full", {}),
+        ("blocked", {"boxsum_mode": "blocked"}),
+        ("blk+dma1", {"boxsum_mode": "blocked", "warp_mode": "dma_once"}),
+        ("dma_once", {"warp_mode": "dma_once"}),
         ("no_warp", {"do_warp": False}),
         ("no_asums", {"do_asums": False}),
         ("no_bsums", {"do_bsums": False}),
@@ -406,6 +555,9 @@ def main():
         b = build(nxt, prev, **{**base, "warp_mode": "rolly"})(fj)
         d = np.abs(np.asarray(a) - np.asarray(b))
         print("rolly max|diff| =", float(d.max()))
+        c = build(nxt, prev, **{**base, "boxsum_mode": "blocked"})(fj)
+        d = np.abs(np.asarray(a) - np.asarray(c))
+        print("blocked max|diff| =", float(d.max()))
     for name, over in cases:
         time_variant(name, prev, nxt, flow0, **{**base, **over})
 

@@ -96,6 +96,24 @@ def main():
             print(f"L0 grads zeroinit th={th} tw={tw} ({steps:3d} steps): "
                   f"{ms:7.3f} ms  ({ms * 1e3 / steps:5.1f} us/step)")
 
+    if sel == "tiles":
+        # bigger-tile sweep: fewer grid steps amortize the per-step fixed
+        # cost and shrink the halo-column compute waste — VMEM permitting
+        p0, n0 = mk(1088, 2048), mk(1088, 2048)
+        cpl = jnp.asarray(rng.random((2, 544, 1024)).astype(np.float32))
+        for th, tw in [(272, 512), (272, 1024), (544, 512), (544, 1024),
+                       (272, 2048), (1088, 512)]:
+            steps = (1088 // th) * (2048 // tw)
+            try:
+                ms = diff_time(level_fn(1088, 2048, th, tw, 1, 3, True),
+                               (p0, n0, cpl)) * 1e3
+            except Exception as e:  # VMEM overflow etc.
+                print(f"L0 grads+coarse th={th} tw={tw} ({steps:3d} steps): "
+                      f"FAILED {type(e).__name__}: {str(e)[:120]}")
+                continue
+            print(f"L0 grads+coarse th={th} tw={tw} ({steps:3d} steps): "
+                  f"{ms:7.3f} ms  ({ms * 1e3 / steps:5.1f} us/step)")
+
     if sel in ("all", "l1", "fixed"):
         p1, n1 = mk(544, 1024), mk(544, 1024)
         cpl1 = jnp.asarray(rng.random((2, 272, 512)).astype(np.float32))
