@@ -86,10 +86,12 @@ def main(argv=None):
     if jax.default_backend() != "cpu":
         # Pallas window gather for the batched tracker (TPU-only Mosaic
         # kernel; the vmapped dynamic_slice path stays for CPU/tests) +
-        # fast-MXU coarse pyramid (parity < 0.1 px, tested)
+        # fast-MXU coarse pyramid (parity < 0.1 px, tested) + fused
+        # single-pass finish (u8->f32 [+tone] + blur in one VMEM stream)
         cfg = dataclasses.replace(
-            cfg, lk=dataclasses.replace(cfg.lk, pallas_windows=True,
-                                        fast_pyramid=True)
+            cfg, pallas_finish=True,
+            lk=dataclasses.replace(cfg.lk, pallas_windows=True,
+                                    fast_pyramid=True)
         )
     scenes = [
         SyntheticRoadStream(width=args.width, height=args.height,

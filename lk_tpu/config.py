@@ -265,6 +265,13 @@ class PipelineConfig:
     # disable for point sets that roam the full frame.
     track_row_band: bool = True
 
+    # Run the serving `finish` (u8->f32 [+tone] + 3x3 blur) as ONE fused
+    # Pallas pass per frame (ops/pallas_finish.py) instead of the ~4-pass
+    # XLA chain.  TPU-only Mosaic kernel — enable where lk.pallas_windows
+    # is enabled (apps/serve.py does).  Blur output is bit-equal; the tone
+    # path fuses to an FMA (<= 1 ulp at image scale).
+    pallas_finish: bool = False
+
     def derived_height(self, src_h: int, src_w: int) -> int:
         """Frame height after aspect-preserving resize (LK_Final.py:426-428)."""
         return int(self.width * (src_h / src_w))

@@ -54,6 +54,18 @@ def _cached_finish(cfg: PipelineConfig):
     from lk_tpu.ops.blur import gaussian_blur3
     from lk_tpu.ops.tone import contrast_brightness
 
+    if cfg.pallas_finish:
+        from lk_tpu.ops.pallas_finish import fused_finish
+
+        def _finish_batch(g):
+            # (..., H, W) -> flatten leading dims for the per-frame grid
+            lead = g.shape[:-2]
+            out = fused_finish(g.reshape((-1,) + g.shape[-2:]),
+                               contrast=cfg.contrast_enhance)
+            return out.reshape(lead + out.shape[-2:])
+
+        return _jax.jit(_finish_batch)
+
     def _finish(g):
         g = g.astype(jnp.float32)
         if cfg.contrast_enhance:

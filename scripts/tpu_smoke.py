@@ -162,6 +162,21 @@ def main():
     check("batched tracker vs oracle @1080p",
           float(np.abs(np.asarray(bp[0]) - np.asarray(sp)).max()), 1e-3)
 
+    # --- 5. fused serving finish vs the XLA chain (u8 and tone paths) ------
+    from lk_tpu.ops.pallas_finish import fused_finish
+    from lk_tpu.ops.blur import gaussian_blur3
+    from lk_tpu.ops.tone import contrast_brightness
+
+    g8 = jnp.asarray(rng.integers(0, 256, (3, 483, 860)).astype(np.uint8))
+    check("fused finish u8 == XLA chain @860x483",
+          float(jnp.abs(jax.jit(fused_finish)(g8)
+                        - gaussian_blur3(g8.astype(jnp.float32))).max()), 1e-9)
+    check("fused finish u8+tone == XLA chain",
+          float(jnp.abs(
+              jax.jit(lambda v: fused_finish(v, contrast=True))(g8)
+              - gaussian_blur3(contrast_brightness(g8.astype(jnp.float32)))
+          ).max()), 1e-3)
+
     if FAILED:
         print(f"\n{len(FAILED)} smoke check(s) FAILED: {FAILED}")
         sys.exit(1)
