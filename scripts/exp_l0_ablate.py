@@ -95,6 +95,96 @@ def _warp_finish_rolly(state, fx, fy, y0, x0, scratch,
     return out
 
 
+def _tent_gather_tree(win, rel, axis, out_len, local, sel_dtype=None):
+    """_tent_gather with the equality-select CHAIN replaced by a bit-
+    decomposed pairwise select TREE: di has 2*local+1 reachable values, so
+    selecting taps[di] takes ceil(log2) rounds of pairwise selects on the
+    di bits — same select count as the chain but depth 3 instead of 6 and
+    the three bit masks are computed once (the chain recomputes an equality
+    per tap).  With ``sel_dtype=bfloat16`` the taps are cast once (on the
+    window, before slicing) and every select runs on half-width data; the
+    lerp stays f32.  Correctness of the odd-tail rule: a tree level's
+    unpaired last element passes through unselected, which is right only
+    because di values that would pick its missing partner are unreachable
+    (di <= 2*local)."""
+    src = win if sel_dtype is None else win.astype(sel_dtype)
+    n_di = 2 * local + 1
+    taps = [jax.lax.slice_in_dim(src, d, d + out_len, axis=axis)
+            for d in range(n_di + 1)]
+    di_f = jnp.floor(rel)
+    f = rel - di_f
+    di = di_f.astype(jnp.int32)
+
+    def tree(tlist):
+        cur = list(tlist)
+        bit = 1
+        while len(cur) > 1:
+            b = (di & bit) != 0
+            nxt = []
+            for i in range(0, len(cur), 2):
+                if i + 1 < len(cur):
+                    nxt.append(jnp.where(b, cur[i + 1], cur[i]))
+                else:
+                    nxt.append(cur[i])
+            cur = nxt
+            bit <<= 1
+        return cur[0]
+
+    t0 = tree(taps[:n_di])
+    t1 = tree(taps[1:n_di + 1])
+    if sel_dtype is not None:
+        t0 = t0.astype(jnp.float32)
+        t1 = t1.astype(jnp.float32)
+    return (1.0 - f) * t0 + f * t1
+
+
+def _warp_finish_tree(state, fx, fy, y0, x0, scratch, *,
+                      h, w, pad_y, pad_x, max_disp, th, tw, local,
+                      sel_dtype=None, chain_bf16=False):
+    """Library _warp_finish with the gather swapped for the tree form (or
+    the chain on bf16 taps when ``chain_bf16``)."""
+    from lk_tpu.flow.pallas_kernels import _tent_gather
+
+    dma, src_y_raw, src_x_raw, src_y, src_x = state
+    bound = jnp.float32(max_disp)
+    extra_y = src_y_raw - src_y
+    extra_x = src_x_raw - src_x
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
+        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(
+        jnp.float32)
+    gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
+    gx = jnp.clip(cols + x0 + jnp.clip(fx, -bound, bound), 0.0, w - 1.0)
+    rel_y = jnp.clip(
+        gy - (src_y_raw - pad_y).astype(jnp.float32) - rows, 0.0, 2.0 * local
+    )
+    rel_x = jnp.clip(
+        gx - (src_x_raw - pad_x).astype(jnp.float32) - cols, 0.0, 2.0 * local
+    )
+    dma.wait()
+    win = pltpu.roll(scratch[:].astype(jnp.float32), shift=-extra_x, axis=1)
+    vw = tw + 2 * local + 1
+    wp = -(-vw // 128) * 128
+    win = win[:, :wp]
+    for bit in (1, 2, 4):
+        r = pltpu.roll(win, shift=win.shape[0] - bit, axis=0)
+        win = jnp.where((extra_y & bit) != 0, r, win)
+
+    def widen(a):
+        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, wp - tw))
+        return jnp.concatenate([a, tail], axis=1)
+
+    if chain_bf16:
+        vert = _tent_gather(win.astype(jnp.bfloat16), widen(rel_y), axis=0,
+                            out_len=th, local=local).astype(jnp.float32)
+        return _tent_gather(vert.astype(jnp.bfloat16), rel_x, axis=1,
+                            out_len=tw, local=local).astype(jnp.float32)
+    vert = _tent_gather_tree(win, widen(rel_y), axis=0, out_len=th,
+                             local=local, sel_dtype=sel_dtype)
+    return _tent_gather_tree(vert, rel_x, axis=1, out_len=tw, local=local,
+                             sel_dtype=sel_dtype)
+
+
 def _boxsum_blocked_multi(ps, win_k, tile_h, tile_w):
     """Band-BLOCKED form of _boxsum_tile_mxu over several planes at once.
 
@@ -379,6 +469,15 @@ def _kernel(
                 s == 0,
                 h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
                 th=eth, tw=etw, local=local,
+            )
+        elif warp_mode in ("tree", "tree_bf16", "chain_bf16"):
+            jw = _warp_finish_tree(
+                wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
+                h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+                th=eth, tw=etw, local=local,
+                sel_dtype=(jnp.bfloat16 if warp_mode == "tree_bf16"
+                           else None),
+                chain_bf16=(warp_mode == "chain_bf16"),
             )
         else:
             fin = (_warp_finish if warp_mode == "base"
