@@ -80,7 +80,34 @@ def _scene(rng, h, w, dx, dy):
     m = np.float32([[1, 0, dx], [0, 1, dy]])
     nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
                         borderMode=cv.BORDER_REFLECT_101)
-    return img.astype(np.float32), nxt
+    gt = lambda pts: np.broadcast_to(  # noqa: E731
+        np.float32([dx, dy]), pts.shape)
+    return img.astype(np.float32), nxt, gt
+
+
+def _scene_natural(h, w, dx, dy):
+    """Real-photograph texture: the reference's own dashcam frame
+    (/root/reference/GRMN0307.png live-window capture, client area measured
+    in tests/test_natural_image.py), upscaled to the bench geometry and
+    shifted.  Blurred noise flatters the residual clamp; asphalt/sky/cars
+    are the textures the pipeline actually ships on.  Returns None when the
+    reference tree is absent (the gate then runs the synthetic scenes only).
+    """
+    import cv2 as cv
+
+    path = "/root/reference/GRMN0307.png"
+    if not os.path.exists(path):
+        return None
+    img = cv.imread(path)
+    frame = cv.cvtColor(img[41:524, 871:1731], cv.COLOR_BGR2GRAY)
+    img = cv.resize(frame, (w, h), interpolation=cv.INTER_CUBIC)
+    img = img.astype(np.float32)
+    m = np.float32([[1, 0, dx], [0, 1, dy]])
+    nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                        borderMode=cv.BORDER_REFLECT_101)
+    gt = lambda pts: np.broadcast_to(  # noqa: E731
+        np.float32([dx, dy]), pts.shape)
+    return img, nxt, gt
 
 
 def _scene_zoom(rng, h, w, scale, angle_deg):
@@ -96,15 +123,29 @@ def _scene_zoom(rng, h, w, scale, angle_deg):
     m = cv.getRotationMatrix2D((w / 2.0, h / 2.0), angle_deg, scale)
     nxt = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
                         borderMode=cv.BORDER_REFLECT_101)
-    return img.astype(np.float32), nxt
+
+    def gt(pts):
+        ones = np.ones((len(pts), 1), np.float32)
+        return (np.concatenate([pts, ones], 1) @ m.T.astype(np.float32)
+                - pts)
+
+    return img.astype(np.float32), nxt, gt
 
 
-def epe_check(dcfg: "DenseLKConfig", img, nxt) -> float:
+def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None) -> float:
     """Mean EPE vs cv.calcOpticalFlowPyrLK on one (img, nxt) scene pair.
 
     Runs at the SAME 1080p geometry the throughput measures, so the gate
     exercises the identical compiled program including the pad-and-crop
-    path (1080 -> 1088 rows) and the production tile sizes."""
+    path (1080 -> 1088 rows) and the production tile sizes.
+
+    gt: optional callable pts -> (N, 2) exact ground-truth flow.  When
+    given, points where the ORACLE itself is >1 px from the exact answer
+    are excluded — on the synthetic scenes that is ~0% of points, on the
+    natural scene ~2% (overlay graphics / occlusion texture where cv2
+    diverges by up to ~26 px while this implementation stays within ~2;
+    a raw mean there measures cv2's failures, not ours — see
+    tests/test_natural_image.py for the per-point evidence)."""
     import cv2 as cv
 
     if VIDEO:
@@ -136,6 +177,8 @@ def epe_check(dcfg: "DenseLKConfig", img, nxt) -> float:
     )
     cv_flow = p1.reshape(-1, 2) - pts
     st = st.reshape(-1).astype(bool)
+    if gt is not None:
+        st &= np.linalg.norm(cv_flow - gt(pts), axis=1) < 1.0
     ours = flow[pts[:, 1].astype(int), pts[:, 0].astype(int)]
     return float(
         np.linalg.norm(ours[st] - cv_flow[st], axis=1).mean()
@@ -243,14 +286,26 @@ def main():
     # zoom+rotation (forward dashcam ego-motion — divergent flow, where the
     # local residual clamp is the known weak spot).  A perf change that
     # hurts only divergent flow can no longer sail through.
-    epe_t = epe_check(dcfg, *_scene(rng, H, W, 3.7, -2.2))
-    epe_z = epe_check(dcfg, *_scene_zoom(rng, H, W, 1.004, 0.3))
-    epe = max(epe_t, epe_z)
+    st, sz = _scene(rng, H, W, 3.7, -2.2), _scene_zoom(rng, H, W, 1.004, 0.3)
+    epe_t = epe_check(dcfg, st[0], st[1], gt=st[2])
+    epe_z = epe_check(dcfg, sz[0], sz[1], gt=sz[2])
+    nat = _scene_natural(H, W, 2.6, -1.8)
+    epe_n = epe_check(dcfg, nat[0], nat[1], gt=nat[2]) if nat else 0.0
+    epe = max(epe_t, epe_z, epe_n)
     fps = throughput(dcfg) if epe < 0.1 else 0.0
     print(json.dumps({
+        # vs_baseline is apples-to-oranges by necessity: the reference
+        # publishes exactly one number — 27 fps for its SPARSE 20-point
+        # full pipeline on a desktop CPU (BASELINE.md; vps.png overlay) —
+        # while this measures DENSE per-pixel flow at 1080p.  The metric
+        # string names the baseline workload so the artifact carries the
+        # caveat itself.
         "metric": "dense_pyramidal_lk_1080p_fps_per_chip"
                   f" (epe_vs_opencv: shift={epe_t:.4f}px"
-                  f" zoom+rot={epe_z:.4f}px, gate=worst<0.1)",
+                  f" zoom+rot={epe_z:.4f}px natural={epe_n:.4f}px,"
+                  " gate=worst<0.1;"
+                  " vs_baseline ref=27fps sparse 20-pt CPU pipeline"
+                  " — generous: dense-vs-sparse workloads differ)",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 2),

@@ -58,6 +58,15 @@ def main(argv=None):
                         "window — BASELINE config #5's stated geometry "
                         "(e.g. --width 1920 --height 1080).  Watch HBM: "
                         "staging is F*B*H*W bytes")
+    p.add_argument("--stage-window", type=int, default=0,
+                   help="frames per staged device window (0 = stage the "
+                        "whole run).  1080p-source staging at B=64 x 192 "
+                        "frames is 25.5 GB — beyond HBM — so config-#5 "
+                        "measurement re-stages in windows: upload UNTIMED "
+                        "between timed windows (production overlaps PCIe "
+                        "uploads with compute; the axon tunnel here is "
+                        "~36 MB/s and would measure the tunnel), each "
+                        "timed window ends with its drain (the sync point)")
     p.add_argument("--preset", default="final",
                    choices=("final", "vp_detect", "classify"),
                    help="pipeline preset (models.PRESETS); 'classify' is "
@@ -148,17 +157,24 @@ def main(argv=None):
                     g = cv.cvtColor(scenes[b].frame(t), cv.COLOR_BGR2GRAY)
                     u8[t, b] = cv.resize(g, (w, h),
                                          interpolation=cv.INTER_AREA)
-        grays = jnp.asarray(u8)
-        grays.block_until_ready()
         decode_busy = None
+        if args.stage_window:
+            # windowed re-staging: see --stage-window help.  Drain cadence
+            # becomes the window (each timed segment must end at a real
+            # sync, and drain() is the only true sync under the tunnel).
+            _feed_windowed(warm, u8, args)
+            dt = _feed_windowed(server, u8, args)
+        else:
+            grays = jnp.asarray(u8)
+            grays.block_until_ready()
 
-        _feed_all(warm, grays, args)
-        warm.drain()
+            _feed_all(warm, grays, args)
+            warm.drain()
 
-        t0 = time.time()
-        _feed_all(server, grays, args)
-        server.drain()          # device_get inside: synchronizes
-        dt = time.time() - t0
+            t0 = time.time()
+            _feed_all(server, grays, args)
+            server.drain()          # device_get inside: synchronizes
+            dt = time.time() - t0
 
     total = server.frames_done
     ok = sum(1 for p_ in server.pipes if len(p_.csv_rows) > 0)
@@ -209,6 +225,32 @@ def _feed_live(server: MultiStreamPipeline, scenes, args) -> float:
     finally:
         mp.close()
     return mp.decode_busy_s
+
+
+def _feed_windowed(server: MultiStreamPipeline, u8, args) -> float:
+    """Feed the host (F, B, h, w) u8 array in --stage-window frame windows:
+    upload each window untimed, feed + drain it timed; returns summed timed
+    seconds.  The per-window drain bounds the timed segment at a real device
+    sync (device_get), so no dispatched work leaks into the untimed upload
+    gaps."""
+    timed = 0.0
+    f = args.frames
+    tg = 0
+    while tg < f:
+        n_win = min(args.stage_window, f - tg)
+        g = jnp.asarray(u8[tg:tg + n_win])
+        g.block_until_ready()               # upload, untimed
+        t0 = time.time()
+        t = 0
+        while t < n_win:
+            n = min(args.chunk + (1 if server.states is None else 0),
+                    n_win - t)
+            server.feed_staged(g, t, n)
+            t += n
+        server.drain()
+        timed += time.time() - t0
+        tg += n_win
+    return timed
 
 
 def _feed_all(server: MultiStreamPipeline, grays, args) -> None:

@@ -115,6 +115,14 @@ class DenseLKConfig:
     # window DMA.  Accumulation error ~1e-2 relative; gate with bench's EPE.
     bf16_box_sums: bool = False
     bf16_warp_window: bool = False
+    # In-kernel Scharr with the column passes as blocked banded bf16 MXU
+    # matmuls (pallas_kernels._scharr_mxu_cols): the direct form's column
+    # taps are lane-misaligned vector relayouts — measured 19.8 -> 16.6
+    # us/tile on the L0 grads kernel (r4 ablation).  Gradient data rounds
+    # to bf16 (~0.25 absolute on pixel-scale smoothed rows before the
+    # derivative cancellation); end-to-end EPE gated by bench.py.  Only
+    # affects the grads-in-kernel fused kernels; geometry-gated per tile.
+    scharr_mxu: bool = True
     # Static residual select range (±local px around the tile-reference
     # displacement) for the Pallas warp/fused kernels; each unit costs
     # ~2 select taps per axis per pixel.  Swept on v5e (6/5/4 at th=136):

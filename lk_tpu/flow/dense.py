@@ -208,7 +208,7 @@ def dense_lk_level(
                 next_, prev, n_iters=dense_cfg.outer_iters,
                 min_eig_threshold=cfg.min_eig_threshold,
                 max_disp=r_disp, win_k=win_h, local=dense_cfg.warp_local,
-                planes_out=planes_out,
+                planes_out=planes_out, scharr_mxu=dense_cfg.scharr_mxu,
             )
         else:
             run = make_fused_lk_level_grads(
@@ -217,7 +217,7 @@ def dense_lk_level(
                 max_disp=r_disp, tile_h=th, tile_w=tw, win_k=win_h,
                 local=dense_cfg.warp_local,
                 coarse_flow=coarse_planes_init is not None,
-                planes_out=planes_out,
+                planes_out=planes_out, scharr_mxu=dense_cfg.scharr_mxu,
             )
         if coarse_planes_init is not None:
             flow, min_eig, valid = run(
@@ -585,7 +585,7 @@ def dense_flow_from_levels_prepadded(
         next_levels[top], prev_levels[top], n_iters=p.iters,
         min_eig_threshold=cfg.min_eig_threshold, max_disp=p.disp,
         win_k=cfg.win_size[1], local=p.local, planes_out=True,
-        prepadded_hw=(p.h, p.w),
+        prepadded_hw=(p.h, p.w), scharr_mxu=dense_cfg.scharr_mxu,
     )
     if init_flow is None:
         seed = jnp.zeros((p.h, p.w, 2), jnp.float32)
@@ -601,7 +601,7 @@ def dense_flow_from_levels_prepadded(
             min_eig_threshold=cfg.min_eig_threshold, max_disp=p.disp,
             tile_h=p.th, tile_w=p.tw, win_k=cfg.win_size[1], local=p.local,
             coarse_flow=True, planes_out=True, prepadded=True,
-            write_stats=(level == 0),
+            write_stats=(level == 0), scharr_mxu=dense_cfg.scharr_mxu,
         )
         flow, me, va = run(flow)
         if level == 0:

@@ -348,6 +348,66 @@ def pallas_local_warp(
 _HALO = 8  # rows/cols of halo the box sums need around a tile (win 15 -> ±7)
 
 
+def _scharr_mxu_ok(etw: int, p_width: int) -> bool:
+    """Geometry gate for the MXU-column Scharr: the blocked band matmuls
+    read 256-col slices at 128-col strides, so the prev scratch must cover
+    ceil(etw/128)*128 + 128 columns.  Every production tile width satisfies
+    this exactly (etw_dma_p = tile_w + 256 = ow + 128)."""
+    ow = -(-etw // 128) * 128
+    return p_width >= ow + 128
+
+
+def _scharr_mxu_cols(p, eth: int, etw: int):
+    """Scharr ix/iy of the extended region with the COLUMN passes as
+    blocked banded bf16 MXU matmuls.
+
+    The direct form's column taps read the prev scratch at lane offsets
+    119/120/121 — five lane-misaligned reads, each a Mosaic vector
+    relayout (measured r4 ablation: swapping them for this form is
+    19.8 -> 16.6 us/tile on the L0 grads kernel, scripts/exp_l0_ablate.py
+    scharr_mxu case).  Scharr is separable, so the lane-offset work moves
+    to the MXU exactly like _boxsum_tile_mxu:
+
+        ix = rows_smooth(p) @ D    D: -/+0.5 band at j_out+119 / j_out+121
+        iy = rows_diff(p)   @ S    S: (3,10,3)/16 band at j_out+119..121
+
+    rows_smooth/rows_diff are SUBLANE taps (cheap VPU) and the band
+    weights are exact in bf16.  The matmul INPUT rounds to bf16 — for ix
+    that happens BEFORE the +-0.5 cancellation, i.e. ~0.25 absolute on
+    pixel-scale data (ablation: flow max|diff| vs exact printed by
+    EXP_CHECK; end-to-end gated by bench.py's two EPE scenes); for iy the
+    input is already the (small) row difference, so its rounding is
+    relative and benign.  Blocked into 128-output-column chunks consuming
+    256-col input slices (~50M MACs per gradient plane at L0 geometry).
+    """
+    ow = -(-etw // 128) * 128
+    sy = ((3.0 * p[7:7 + eth, :] + 10.0 * p[8:8 + eth, :]
+           + 3.0 * p[9:9 + eth, :]) * (1.0 / 16.0)).astype(jnp.bfloat16)
+    dr = ((p[9:9 + eth, :] - p[7:7 + eth, :]) * 0.5).astype(jnp.bfloat16)
+
+    def col_band(vals):
+        jc = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+        b = jnp.zeros((256, 128), jnp.float32)
+        for k, v in enumerate(vals):
+            b = b + jnp.where(jc == ic + 119 + k, v, 0.0)
+        return b.astype(jnp.bfloat16)
+
+    dmat = col_band((-0.5, 0.0, 0.5))
+    smat = col_band((3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0))
+
+    def apply(src, band):
+        outs = []
+        for c in range(ow // 128):
+            outs.append(jax.lax.dot_general(
+                src[:, c * 128:c * 128 + 256], band,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+    return apply(sy, dmat)[:, :etw], apply(dr, smat)[:, :etw]
+
+
 def _fused_level_kernel(
     next_hbm, static_hbm, flowbuf_hbm, a_ref,
     out_hbm,
@@ -620,7 +680,7 @@ def _fused_level_grads_kernel(
     win_scratch, prev_scratch, flow_scratch, out_tile, stats_tile, sems,
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
     area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats, coarse,
-    prev_row0=0, tight_out=False, write_stats=True,
+    prev_row0=0, tight_out=False, write_stats=True, scharr_mxu=False,
 ):
     """Self-contained fused IC iteration: Scharr gradients and the structure
     tensor are computed in-kernel from a single prev window, so a level call
@@ -840,14 +900,17 @@ def _fused_level_grads_kernel(
     # halos carry edge replication (pad_ext) instead of REFLECT_101 — a
     # border-radius-only deviation, same class as the fused b-sum halos.
     p = prev_scratch[slot]
-    sy = (3.0 * p[7:7 + eth, 119:121 + etw]
-          + 10.0 * p[8:8 + eth, 119:121 + etw]
-          + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
-    ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
-    sx = (3.0 * p[7:9 + eth, 119:119 + etw]
-          + 10.0 * p[7:9 + eth, 120:120 + etw]
-          + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
-    iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+    if scharr_mxu:
+        ix_w, iy_w = _scharr_mxu_cols(p, eth, etw)
+    else:
+        sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+              + 10.0 * p[8:8 + eth, 119:121 + etw]
+              + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+        ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+        sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+              + 10.0 * p[7:9 + eth, 120:120 + etw]
+              + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+        iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
     prev_w = p[8:8 + eth, 120:120 + etw]
 
     # --- structure tensor + gating, per tile ---------------------------------
@@ -935,7 +998,7 @@ def _fused_level_grads_resident_kernel(
     win_scratch, prev_scratch, flow_scratch, grad_cache, a_cache, out_tile,
     sems,
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
-    area_f, eig_thr, n_iters, prev_row0=0,
+    area_f, eig_thr, n_iters, prev_row0=0, scharr_mxu=False,
 ):
     """Single-tile level with EVERYTHING resident in VMEM across iterations.
 
@@ -966,14 +1029,17 @@ def _fused_level_grads_resident_kernel(
         d.wait()
         dma_p.wait()
         p = prev_scratch[:]
-        sy = (3.0 * p[7:7 + eth, 119:121 + etw]
-              + 10.0 * p[8:8 + eth, 119:121 + etw]
-              + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
-        ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
-        sx = (3.0 * p[7:9 + eth, 119:119 + etw]
-              + 10.0 * p[7:9 + eth, 120:120 + etw]
-              + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
-        iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+        if scharr_mxu:
+            ix_w, iy_w = _scharr_mxu_cols(p, eth, etw)
+        else:
+            sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+                  + 10.0 * p[8:8 + eth, 119:121 + etw]
+                  + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+            ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+            sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+                  + 10.0 * p[7:9 + eth, 120:120 + etw]
+                  + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+            iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
 
         def fill(a, width):
             ext = width - a.shape[-1]
@@ -1075,6 +1141,7 @@ def make_fused_lk_level_grads_resident(
     win_k: int = 15,
     planes_out: bool = False,
     prepadded_hw: tuple | None = None,
+    scharr_mxu: bool = True,
 ):
     """Single-tile build of the grads level: run(flow_init) ->
     (flow, min_eig, valid) with all level state VMEM-resident across the
@@ -1128,6 +1195,7 @@ def make_fused_lk_level_grads_resident(
         win_k=win_k, bound_f=float(max_disp), area_f=float(win_k * win_k),
         eig_thr=float(min_eig_threshold) * 1024.0, n_iters=n_iters,
         prev_row0=prev_row0,
+        scharr_mxu=scharr_mxu and _scharr_mxu_ok(etw, etw_dma_p),
     )
     call = pl.pallas_call(
         kernel,
@@ -1191,6 +1259,7 @@ def make_fused_lk_level_grads(
     planes_out: bool = False,
     prepadded: bool = False,
     write_stats: bool = True,
+    scharr_mxu: bool = True,
 ):
     """Build run(flow_init) -> (flow, min_eig, valid): n_iters fused IC
     iterations with Scharr + structure tensor computed in-kernel.
@@ -1276,6 +1345,7 @@ def make_fused_lk_level_grads(
         n_iters=n_iters, n_ty=n_ty, n_tx=n_tx, merge_stats=merge_stats,
         coarse=coarse_flow, prev_row0=prev_row0, tight_out=prepadded,
         write_stats=write_stats,
+        scharr_mxu=scharr_mxu and _scharr_mxu_ok(etw, etw_dma_p),
     )
     if merge_stats and prepadded:
         # tight buffer, no margins, nothing to slice afterwards

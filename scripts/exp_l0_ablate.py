@@ -185,6 +185,57 @@ def _warp_finish_tree(state, fx, fy, y0, x0, scratch, *,
                              sel_dtype=sel_dtype)
 
 
+def _warp_finish_tpose(state, fx, fy, y0, x0, scratch, *,
+                       h, w, pad_y, pad_x, max_disp, th, tw, local):
+    """_warp_finish with the HORIZONTAL tent gather done on the transpose.
+
+    The horizontal pass's 2*local+2 tap views are LANE-offset slices — each
+    a Mosaic vector relayout (the same pathology scharr_mxu just removed
+    from the gradients).  Transposing vert once turns them into SUBLANE
+    slices (cheap); costs 3 transposes (vert, fx for rel_x, the result).
+    Bit-identical math — only the layout moves."""
+    from lk_tpu.flow.pallas_kernels import _tent_gather
+
+    dma, src_y_raw, src_x_raw, src_y, src_x = state
+    bound = jnp.float32(max_disp)
+    extra_y = src_y_raw - src_y
+    extra_x = src_x_raw - src_x
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
+        jnp.float32)
+    gy = jnp.clip(rows + y0 + jnp.clip(fy, -bound, bound), 0.0, h - 1.0)
+    rel_y = jnp.clip(
+        gy - (src_y_raw - pad_y).astype(jnp.float32) - rows, 0.0, 2.0 * local
+    )
+    # rel_x built TRANSPOSED: iotas are free in either orientation; only
+    # fx needs a data transpose
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tw, th), 1).astype(
+        jnp.float32)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tw, th), 0).astype(
+        jnp.float32)
+    fx_t = fx.T
+    gx_t = jnp.clip(cols_t + x0 + jnp.clip(fx_t, -bound, bound), 0.0, w - 1.0)
+    rel_x_t = jnp.clip(
+        gx_t - (src_x_raw - pad_x).astype(jnp.float32) - cols_t,
+        0.0, 2.0 * local
+    )
+    dma.wait()
+    win = pltpu.roll(scratch[:].astype(jnp.float32), shift=-extra_x, axis=1)
+    vw = tw + 2 * local + 1
+    wp = -(-vw // 128) * 128
+    win = win[:, :wp]
+    for bit in (1, 2, 4):
+        r = pltpu.roll(win, shift=win.shape[0] - bit, axis=0)
+        win = jnp.where((extra_y & bit) != 0, r, win)
+
+    def widen(a):
+        tail = jnp.broadcast_to(a[:, tw - 1:tw], (th, wp - tw))
+        return jnp.concatenate([a, tail], axis=1)
+
+    vert = _tent_gather(win, widen(rel_y), axis=0, out_len=th, local=local)
+    out_t = _tent_gather(vert.T, rel_x_t, axis=0, out_len=tw, local=local)
+    return out_t.T
+
+
 def _boxsum_blocked_multi(ps, win_k, tile_h, tile_w):
     """Band-BLOCKED form of _boxsum_tile_mxu over several planes at once.
 
@@ -236,6 +287,65 @@ def _boxsum_blocked_multi(ps, win_k, tile_h, tile_w):
                 preferred_element_type=jnp.float32))
         outs.append(jnp.concatenate(rows, axis=0))
     return outs
+
+
+def _scharr_mxu(p, eth, etw, out_w=None, hilo=False):
+    """Scharr ix/iy with the COLUMN passes as blocked banded bf16 MXU
+    matmuls (the _boxsum_tile_mxu trick applied one stage earlier).
+
+    The library form's column taps read the prev scratch at lane offsets
+    119/120/121 — five lane-misaligned vector relayouts per tile (today's
+    ablation: removing scharr saves 7.4 us/tile, far above its ~1 us of
+    arithmetic).  Separability lets the lane-offset work move to the MXU:
+
+        ix = rows_smooth(p) @ D      D: +-0.5 band at j_out+119 / j_out+121
+        iy = rows_diff(p)   @ S      S: (3,10,3)/16 band at j_out+119..121
+
+    where rows_smooth/rows_diff are SUBLANE taps (cheap) and the bands are
+    exact in bf16.  The matmul INPUT rounds to bf16 (<= 2^-9 relative on
+    pixel values) — same data-rounding class as the box sums' products,
+    gated end-to-end by the EPE scenes.  Blocked into 128-output-column
+    chunks of 256-col input slices: ~50M MACs per gradient plane.
+    """
+    ow = -(-etw // 128) * 128 if out_w is None else out_w
+    assert ow % 128 == 0 and p.shape[1] >= ow + 256 - 128
+    sy = ((3.0 * p[7:7 + eth, :] + 10.0 * p[8:8 + eth, :]
+           + 3.0 * p[9:9 + eth, :]) * (1.0 / 16.0))
+    dr = ((p[9:9 + eth, :] - p[7:7 + eth, :]) * 0.5).astype(jnp.bfloat16)
+
+    def col_band(off_lo, vals):
+        jc = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+        b = jnp.zeros((256, 128), jnp.float32)
+        for k, v in enumerate(vals):
+            b = b + jnp.where(jc == ic + off_lo + k, v, 0.0)
+        return b.astype(jnp.bfloat16)
+
+    dmat = col_band(119, (-0.5, 0.0, 0.5))
+    smat = col_band(119, (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0))
+
+    def apply(src, band):
+        outs = []
+        for c in range(ow // 128):
+            outs.append(jax.lax.dot_general(
+                src[:, c * 128:c * 128 + 256], band,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+    if hilo:
+        # ix rounds BEFORE the +-0.5 cancellation (sy ~ pixel scale, the
+        # diff ~ gradient scale), so single-bf16 costs ~0.25 gray absolute
+        # there; a hi/lo split restores ~f32 accuracy at 2x the D MACs.
+        # iy's matmul input is already the (small) row diff — single bf16
+        # is relatively accurate and stays single.
+        hi = sy.astype(jnp.bfloat16)
+        lo = (sy - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ix = apply(hi, dmat) + apply(lo, dmat)
+    else:
+        ix = apply(sy.astype(jnp.bfloat16), dmat)
+    iy = apply(dr, smat)
+    return ix[:, :etw], iy[:, :etw]
 
 
 def _warp_start_nostart(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
@@ -308,7 +418,7 @@ def _kernel(
     *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
     area_f, eig_thr, n_iters, n_ty, n_tx, merge_stats,
     do_warp, do_asums, do_bsums, do_scharr, warp_mode="base",
-    boxsum_mode="dense",
+    boxsum_mode="dense", scharr_mode="base",
 ):
     k = pl.program_id(0)
     ti = pl.program_id(1)
@@ -419,7 +529,12 @@ def _kernel(
     prev_copy(ti, tj, slot).wait()
 
     p = prev_scratch[slot]
-    if do_scharr:
+    if not do_scharr:
+        ix_w = p[8:8 + eth, 120:120 + etw] * 0.01
+        iy_w = p[8:8 + eth, 120:120 + etw] * 0.02
+    elif scharr_mode in ("mxu", "mxu2"):
+        ix_w, iy_w = _scharr_mxu(p, eth, etw, hilo=scharr_mode == "mxu2")
+    else:
         sy = (3.0 * p[7:7 + eth, 119:121 + etw]
               + 10.0 * p[8:8 + eth, 119:121 + etw]
               + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
@@ -428,9 +543,6 @@ def _kernel(
               + 10.0 * p[7:9 + eth, 120:120 + etw]
               + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
         iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
-    else:
-        ix_w = p[8:8 + eth, 120:120 + etw] * 0.01
-        iy_w = p[8:8 + eth, 120:120 + etw] * 0.02
     prev_w = p[8:8 + eth, 120:120 + etw]
 
     if do_asums:
@@ -467,6 +579,12 @@ def _kernel(
             jw = _warp_finish_optwait(
                 wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
                 s == 0,
+                h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+                th=eth, tw=etw, local=local,
+            )
+        elif warp_mode == "tpose":
+            jw = _warp_finish_tpose(
+                wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
                 h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
                 th=eth, tw=etw, local=local,
             )
@@ -638,6 +756,14 @@ def main():
         ("blocked", {"boxsum_mode": "blocked"}),
         ("blk+dma1", {"boxsum_mode": "blocked", "warp_mode": "dma_once"}),
         ("dma_once", {"warp_mode": "dma_once"}),
+        ("tree", {"warp_mode": "tree"}),
+        ("tree_bf16", {"warp_mode": "tree_bf16"}),
+        ("chain_bf16", {"warp_mode": "chain_bf16"}),
+        ("blk+treeb", {"boxsum_mode": "blocked", "warp_mode": "tree_bf16"}),
+        ("scharr_mxu", {"scharr_mode": "mxu"}),
+        ("scharr_mxu2", {"scharr_mode": "mxu2"}),
+        ("tpose", {"warp_mode": "tpose"}),
+        ("mxu+tpose", {"scharr_mode": "mxu", "warp_mode": "tpose"}),
         ("no_warp", {"do_warp": False}),
         ("no_asums", {"do_asums": False}),
         ("no_bsums", {"do_bsums": False}),
@@ -657,6 +783,33 @@ def main():
         c = build(nxt, prev, **{**base, "boxsum_mode": "blocked"})(fj)
         d = np.abs(np.asarray(a) - np.asarray(c))
         print("blocked max|diff| =", float(d.max()))
+        # tree reorders only the SELECT structure (taps are identical
+        # f32 values, lerp unchanged) — must be bit-identical to base
+        t = build(nxt, prev, **{**base, "warp_mode": "tree"})(fj)
+        d = np.abs(np.asarray(a) - np.asarray(t))
+        print("tree max|diff| =", float(d.max()))
+        assert float(d.max()) == 0.0, "tree warp must be bit-equal to base"
+        # bf16 variants trade select width for tap precision: print the
+        # flow error they introduce so accuracy cost sits next to timing
+        for m in ("tree_bf16", "chain_bf16"):
+            v = build(nxt, prev, **{**base, "warp_mode": m})(fj)
+            d = np.abs(np.asarray(a) - np.asarray(v))
+            print(f"{m} max|diff| = {float(d.max()):.6f} "
+                  f"mean|diff| = {float(d.mean()):.6f}")
+        for m in ("mxu", "mxu2"):
+            v = build(nxt, prev, **{**base, "scharr_mode": m})(fj)
+            d = np.abs(np.asarray(a) - np.asarray(v))
+            print(f"scharr_{m} max|diff| = {float(d.max()):.6f} "
+                  f"mean|diff| = {float(d.mean()):.6f}")
+        # tpose moves layout only — must be bit-identical to base
+        v = build(nxt, prev, **{**base, "warp_mode": "tpose"})(fj)
+        d = np.abs(np.asarray(a) - np.asarray(v))
+        print("tpose max|diff| =", float(d.max()))
+        assert float(d.max()) == 0.0, "tpose warp must be bit-equal to base"
+    only = os.environ.get("EXP_ONLY", "")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        cases = [c for c in cases if c[0] in keep]
     for name, over in cases:
         time_variant(name, prev, nxt, flow0, **{**base, **over})
 

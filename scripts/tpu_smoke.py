@@ -97,10 +97,22 @@ def main():
     gr1 = np.asarray(dense_lk_level(
         a, b, f0, LKConfig(),
         DenseLKConfig(outer_iters=1, use_pallas_fused=True,
-                      fused_grads_in_kernel=True),
+                      fused_grads_in_kernel=True, scharr_mxu=False),
         max_disp=8).flow)
     check("grads-fused x1 vs XLA glue @1080p (bf16 sums)",
           np.abs(refl - gr1)[32:-32, 32:-32].max(), 0.03)
+    # production default: + MXU-column Scharr, whose matmul input rounds
+    # the gradient DATA to bf16 (r4).  This raw-noise scene is the
+    # adversarial case for that rounding (point-max 0.092 here vs 0.042 on
+    # smooth-flow scenes); the binding accuracy gates are bench.py's three
+    # EPE scenes — this check only pins the design tolerance from drifting.
+    gr1m = np.asarray(dense_lk_level(
+        a, b, f0, LKConfig(),
+        DenseLKConfig(outer_iters=1, use_pallas_fused=True,
+                      fused_grads_in_kernel=True),
+        max_disp=8).flow)
+    check("grads-fused x1 vs XLA glue @1080p (+mxu scharr)",
+          np.abs(refl - gr1m)[32:-32, 32:-32].max(), 0.15)
     fus2 = np.asarray(dense_lk_level(
         a, b, f0, LKConfig(),
         DenseLKConfig(outer_iters=2, use_pallas_fused=True,

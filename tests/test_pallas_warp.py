@@ -118,12 +118,16 @@ class TestPallasLocalWarp:
         # the remaining interior difference is the eps-freeze semantics
         assert d[32:-32, 32:-32].max() < 0.1, d[32:-32, 32:-32].max()
 
+    @pytest.mark.parametrize("scharr_mxu", [False, True])
     @pytest.mark.parametrize("iters,w", [(1, 384), (2, 384), (1, 640)])
-    def test_fused_grads_kernel_matches_xla(self, rng, iters, w):
+    def test_fused_grads_kernel_matches_xla(self, rng, iters, w, scharr_mxu):
         """The self-contained kernel (Scharr + A in-kernel) == the XLA path
         in the interior, including the min_eig/valid stats outputs.
         w=384 exercises the VMEM-resident single-tile variant, w=640 the
-        multi-tile ping-pong variant."""
+        multi-tile ping-pong variant.  scharr_mxu=False pins the exact
+        in-kernel Scharr mechanics; True additionally rounds the gradient
+        data to bf16 (production default — ~0.04 px measured on 1080p
+        smooth flow, r4 ablation) so its bound is looser."""
         import cv2 as cv
 
         from lk_tpu.config import DenseLKConfig, LKConfig
@@ -145,24 +149,30 @@ class TestPallasLocalWarp:
                                LKConfig(),
                                DenseLKConfig(outer_iters=iters,
                                              use_pallas_fused=True,
-                                             fused_grads_in_kernel=True),
+                                             fused_grads_in_kernel=True,
+                                             scharr_mxu=scharr_mxu),
                                max_disp=8)
         c = 32
         d = np.abs(np.asarray(ref.flow) - np.asarray(fused.flow))
         # the kernel's MXU box sums round data to bf16 (~1e-2 relative by
-        # design, gated end-to-end by bench.py's EPE check)
-        tol = 0.02 if iters == 1 else 0.1
+        # design, gated end-to-end by bench.py's EPE check); the MXU scharr
+        # adds gradient-data rounding on top
+        tol = (0.02 if iters == 1 else 0.1) + (0.06 if scharr_mxu else 0.0)
         assert d[c:-c, c:-c].max() < tol, d[c:-c, c:-c].max()
         # A borders differ (zero vs edge) only within the window radius;
-        # magnitudes carry the same bf16 rounding
+        # magnitudes carry the same bf16 rounding (plus the gradient-data
+        # rounding under scharr_mxu)
         np.testing.assert_allclose(
             np.asarray(fused.min_eig)[c:-c, c:-c],
-            np.asarray(ref.min_eig)[c:-c, c:-c], rtol=2e-2, atol=1e-2,
+            np.asarray(ref.min_eig)[c:-c, c:-c],
+            rtol=4e-2 if scharr_mxu else 2e-2,
+            atol=3e-2 if scharr_mxu else 1e-2,
         )
         # validity may flip only where min_eig sits on the threshold
         vr = np.asarray(ref.valid)[c:-c, c:-c]
         vf = np.asarray(fused.valid)[c:-c, c:-c]
-        assert (vf != vr).mean() < 0.01, (vf != vr).mean()
+        assert (vf != vr).mean() < (0.02 if scharr_mxu else 0.01), (
+            (vf != vr).mean())
 
     def test_fused_grads_pyramid_epe(self, rng):
         """Full pyramid with every level on the grads kernel tracks a known
