@@ -45,6 +45,16 @@ REPS = int(os.environ.get("LK_BENCH_REPS", "5"))
 VIDEO = int(os.environ.get("LK_BENCH_VIDEO", "1")) == 1 and BATCH == 1
 BASELINE_FPS = 27.0  # reference full pipeline on CPU (BASELINE.md)
 
+# LKConfig override hook for experiment scripts (e.g. max_level sweeps in
+# scripts/exp_ab_video.py): set bench.LK_OVERRIDES = {"max_level": 3}
+# before calling epe_check/throughput.  The shipped bench always runs the
+# production LKConfig() (empty overrides).
+LK_OVERRIDES: dict = {}
+
+
+def _lk_cfg() -> LKConfig:
+    return LKConfig(**LK_OVERRIDES) if LK_OVERRIDES else LKConfig()
+
 
 def measure_tunnel_s() -> float:
     """Per-fetch round-trip via the axon tunnel, measured (a trivial jit +
@@ -151,21 +161,21 @@ def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None) -> float:
     if VIDEO:
         # gate the exact per-step program the video chain executes
         plan = _video_level_plan(
-            LKConfig(), dcfg, pyramid_base_geometry(H, W, LKConfig(), dcfg))
+            _lk_cfg(), dcfg, pyramid_base_geometry(H, W, _lk_cfg(), dcfg))
 
         def flow_fn(a, b):
             if plan is not None:   # the unified-prepadded production chain
-                la = build_frame_levels_prepadded(a, LKConfig(), dcfg, plan)
-                lb = build_frame_levels_prepadded(b, LKConfig(), dcfg, plan)
+                la = build_frame_levels_prepadded(a, _lk_cfg(), dcfg, plan)
+                lb = build_frame_levels_prepadded(b, _lk_cfg(), dcfg, plan)
                 return dense_flow_from_levels_prepadded(
-                    la, lb, LKConfig(), dcfg, (H, W), plan).flow
-            la = build_frame_levels(a, LKConfig(), dcfg)
-            lb = build_frame_levels(b, LKConfig(), dcfg)
+                    la, lb, _lk_cfg(), dcfg, (H, W), plan).flow
+            la = build_frame_levels(a, _lk_cfg(), dcfg)
+            lb = build_frame_levels(b, _lk_cfg(), dcfg)
             return dense_flow_from_levels(
-                la, lb, LKConfig(), dcfg, (H, W)).flow
+                la, lb, _lk_cfg(), dcfg, (H, W)).flow
     else:
         def flow_fn(a, b):
-            return dense_pyramidal_lk(a, b, LKConfig(), dense_cfg=dcfg).flow
+            return dense_pyramidal_lk(a, b, _lk_cfg(), dense_cfg=dcfg).flow
     res = jax.jit(flow_fn)(jnp.asarray(img), jnp.asarray(nxt))
     flow = np.asarray(res)
     ys, xs = np.mgrid[40:H - 40:16, 40:W - 40:16]
@@ -199,14 +209,14 @@ def throughput(dcfg: "DenseLKConfig") -> float:
         )
     if BATCH == 1:
         fn = lambda a, b: dense_pyramidal_lk(  # noqa: E731
-            a, b, LKConfig(), dense_cfg=dcfg
+            a, b, _lk_cfg(), dense_cfg=dcfg
         ).flow
     else:
         from lk_tpu.flow.dense import dense_pyramidal_lk_batched
 
         fn = jax.jit(
             lambda a, b: dense_pyramidal_lk_batched(
-                a, b, LKConfig(), dense_cfg=dcfg
+                a, b, _lk_cfg(), dense_cfg=dcfg
             )
         )
 
@@ -223,21 +233,50 @@ def throughput(dcfg: "DenseLKConfig") -> float:
     def chained(n):
         if VIDEO:
             plan = _video_level_plan(
-                LKConfig(), dcfg,
-                pyramid_base_geometry(H, W, LKConfig(), dcfg))
+                _lk_cfg(), dcfg,
+                pyramid_base_geometry(H, W, _lk_cfg(), dcfg))
+
+            kc = dcfg.video_chunk
+            if plan is not None and kc > 1:
+                # frame-batched chunks: each scan step generates its K+1
+                # frames from the carried frame (same fresh-frame fma the
+                # per-frame harness pays per step) and solves K pairs in
+                # one launch per level; chunks chain through acc
+                from lk_tpu.flow.dense import dense_flow_chunk_prepadded
+
+                assert n % kc == 0, (
+                    f"chain length {n} not divisible by video_chunk={kc}; "
+                    "set LK_BENCH_CHAIN0/1 to multiples")
+                scales = jnp.asarray(
+                    (1.0 - 1e-6) ** np.arange(kc + 1), jnp.float32)
+
+                @jax.jit
+                def run(a, b):
+                    def cstep(carry, _):
+                        f, acc = carry
+                        stack = f[None] * scales[:, None, None] + acc * 1e-9
+                        r = dense_flow_chunk_prepadded(
+                            stack, _lk_cfg(), dcfg, (H, W), plan)
+                        acc = acc * (1 - 1e-9) + jnp.sum(r.flow) * 1e-9
+                        return (stack[-1], acc), None
+
+                    (_, acc), _ = jax.lax.scan(
+                        cstep, (a, 0.0), None, length=n // kc)
+                    return acc
+                return run
 
             def build(f):
                 if plan is not None:
                     return build_frame_levels_prepadded(
-                        f, LKConfig(), dcfg, plan)
-                return build_frame_levels(f, LKConfig(), dcfg)
+                        f, _lk_cfg(), dcfg, plan)
+                return build_frame_levels(f, _lk_cfg(), dcfg)
 
             def flow_step(levels, nl):
                 if plan is not None:
                     return dense_flow_from_levels_prepadded(
-                        levels, nl, LKConfig(), dcfg, (H, W), plan)
+                        levels, nl, _lk_cfg(), dcfg, (H, W), plan)
                 return dense_flow_from_levels(
-                    levels, nl, LKConfig(), dcfg, (H, W))
+                    levels, nl, _lk_cfg(), dcfg, (H, W))
 
             @jax.jit
             def run(a, b):

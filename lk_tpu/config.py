@@ -156,6 +156,15 @@ class DenseLKConfig:
     # (bf16 data rounding <= 0.5 intensity; the level-0 solve still sees
     # the exact f32 frames).  The exact path stays for cv.pyrDown parity.
     fast_pyramid: bool = True
+    # Frame-batched video chunks: dense_pyramidal_lk_video scans CHUNKS of
+    # this many pairs, each chunk one launch per pyramid level with the
+    # frame index as a grid dimension (pallas_kernels.*_batched) — cold
+    # pairs are independent, so K pairs share each kernel's DMA pipeline
+    # and the per-frame XLA dispatch glue of the scan amortizes.  Per-pair
+    # numerics are bit-identical to the per-frame chain (tests pin it).
+    # Requires the prepadded video plan (falls back per-frame otherwise);
+    # 0 disables.  Leftover pairs ((T-1) % chunk) run the per-frame chain.
+    video_chunk: int = 0
     # Build the pyramid with the dual-plane Pallas kernel (pallas_kernels.
     # pallas_pyr_down_pair): both frames of a level decimated by ONE kernel
     # that reads the raw frames as fused row-pair views and does all

@@ -616,6 +616,74 @@ def dense_flow_from_levels_prepadded(
     return result
 
 
+def dense_flow_chunk_prepadded(
+    frames_chunk: jnp.ndarray,
+    cfg: LKConfig,
+    dense_cfg: DenseLKConfig,
+    true_hw: tuple[int, int],
+    plan: tuple,
+) -> DenseFlowResult:
+    """Dense flow over a chunk of K+1 frames (K cold pairs) with the frame
+    index as a Pallas grid dimension at every pyramid level.
+
+    frames_chunk: (K+1, H, W).  Returns stacked (K, ...) DenseFlowResult.
+    Per-pair numerics are bit-identical to the per-frame prepadded chain:
+    the batched kernels run the same per-tile computation in the same
+    order, and the decimation below unrolls the SAME 2-D pyr_down call per
+    plane (a (K+1, H, W) batched matmul is not guaranteed bit-equal)."""
+    from lk_tpu.flow.pallas_kernels import (
+        make_fused_lk_level_grads_batched,
+        make_fused_lk_level_grads_resident_batched,
+    )
+
+    h_true, w_true = true_hw
+    top = cfg.max_level
+    kp1 = frames_chunk.shape[0]
+    f = frames_chunk.astype(jnp.float32)
+    hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
+    if (hp, wp) != (h_true, w_true):
+        f = jnp.pad(f, ((0, 0), (0, hp - h_true), (0, wp - w_true)),
+                    mode="edge")
+    level_stacks = [f]
+    for _ in range(top):
+        prev_stack = level_stacks[-1]
+        level_stacks.append(jnp.stack([
+            pyr_down(prev_stack[i], fast=dense_cfg.fast_pyramid)
+            for i in range(kp1)
+        ]))
+    padded = []
+    for stack, p in zip(level_stacks, plan):
+        assert stack.shape[1:] == (p.h, p.w), (stack.shape, p)
+        pt, pb, pl_, pr = p.pads
+        padded.append(jnp.pad(stack, ((0, 0), (pt, pb), (pl_, pr)),
+                              mode="edge"))
+
+    p = plan[top]
+    run_top = make_fused_lk_level_grads_resident_batched(
+        padded[top], (p.h, p.w), n_iters=p.iters,
+        min_eig_threshold=cfg.min_eig_threshold, max_disp=p.disp,
+        local=p.local, win_k=cfg.win_size[1],
+        scharr_mxu=dense_cfg.scharr_mxu,
+    )
+    flow, min_eig, valid = run_top(None)        # (K, 2, h, w) planes
+    for level in range(top - 1, -1, -1):
+        p = plan[level]
+        run = make_fused_lk_level_grads_batched(
+            padded[level], (p.h, p.w),
+            min_eig_threshold=cfg.min_eig_threshold, max_disp=p.disp,
+            tile_h=p.th, tile_w=p.tw, local=p.local, win_k=cfg.win_size[1],
+            write_stats=(level == 0), scharr_mxu=dense_cfg.scharr_mxu,
+        )
+        flow, me, va = run(flow)
+        if level == 0:
+            min_eig, valid = me, va
+    return DenseFlowResult(
+        flow=jnp.moveaxis(flow[:, :, :h_true, :w_true], 1, -1),
+        min_eig=min_eig[:, :h_true, :w_true],
+        valid=valid[:, :h_true, :w_true],
+    )
+
+
 def dense_pyramidal_lk_video(
     frames: jnp.ndarray,
     cfg: LKConfig = LKConfig(),
@@ -645,6 +713,27 @@ def dense_pyramidal_lk_video(
     plan = _video_level_plan(
         cfg, dense_cfg,
         pyramid_base_geometry(h_true, w_true, cfg, dense_cfg))
+    chunk = dense_cfg.video_chunk
+    if (plan is not None and chunk > 1 and t_total - 1 >= chunk
+            and not dense_cfg.video_warm_start):
+        n_chunks = (t_total - 1) // chunk
+
+        def cstep(_, c):
+            fr = jax.lax.dynamic_slice_in_dim(frames, c * chunk, chunk + 1)
+            return None, dense_flow_chunk_prepadded(
+                fr, cfg, dense_cfg, (h_true, w_true), plan)
+
+        _, out = jax.lax.scan(cstep, None, jnp.arange(n_chunks))
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), out)
+        rem = (t_total - 1) - n_chunks * chunk
+        if rem == 0:
+            return out
+        tail_cfg = dataclasses.replace(dense_cfg, video_chunk=0)
+        tail = dense_pyramidal_lk_video(
+            frames[n_chunks * chunk:], cfg, tail_cfg)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), out, tail)
     if plan is not None and (not dense_cfg.video_warm_start or t_total <= 2):
         pads0 = build_frame_levels_prepadded(frames[0], cfg, dense_cfg, plan)
 

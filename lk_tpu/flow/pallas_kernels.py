@@ -143,7 +143,7 @@ def unified_pad_geometry(tile_h: int, tile_w: int, max_disp: int,
 
 
 def _warp_start(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
-                *, pad_y, pad_x, max_disp, local):
+                *, pad_y, pad_x, max_disp, local, frame=None):
     """Issue the warp-window DMA for a (th, tw) region at global (y0, x0).
 
     Needs only a scalar reference displacement (ref_fx, ref_fy) — callers
@@ -154,6 +154,9 @@ def _warp_start(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
     pad_y/pad_x: the TOP/LEFT padding of next_hbm (padding may be
     asymmetric: the power-of-two window width forces a large right pad,
     which the other three sides need not pay).
+
+    frame: when next_hbm is a stacked (F, H, W) frames array (the
+    frame-batched kernels), the leading index of the plane to read.
     """
     bound = jnp.float32(max_disp)
     dy0 = jnp.round(jnp.clip(ref_fy, -bound, bound)).astype(jnp.int32)
@@ -165,9 +168,11 @@ def _warp_start(next_hbm, ref_fx, ref_fy, y0, x0, scratch, sem,
     src_y = pl.multiple_of((src_y_raw // 8) * 8, 8)
     src_x = pl.multiple_of((src_x_raw // 128) * 128, 128)
     sh, sw = scratch.shape
-    dma = pltpu.make_async_copy(
-        next_hbm.at[pl.ds(src_y, sh), pl.ds(src_x, sw)], scratch, sem
-    )
+    if frame is None:
+        src = next_hbm.at[pl.ds(src_y, sh), pl.ds(src_x, sw)]
+    else:
+        src = next_hbm.at[frame, pl.ds(src_y, sh), pl.ds(src_x, sw)]
+    dma = pltpu.make_async_copy(src, scratch, sem)
     dma.start()
     return dma, src_y_raw, src_x_raw, src_y, src_x
 
@@ -265,17 +270,19 @@ def _warp_finish(state, fx, fy, y0, x0, scratch,
 
 def _warp_core(next_hbm, fx, fy, y0, x0, scratch, sem,
                *, h, w, pad_y, pad_x, max_disp, th, tw, local,
-               ref_cy, ref_cx):
+               ref_cy, ref_cx, frame=None):
     """Warp a (th, tw) region whose top-left is global (y0, x0).
 
     next_hbm: edge-padded image in HBM with pad_y rows above / pad_x cols
     left of frame (0, 0).  fx/fy: flow on the region.  Reference
     displacement read at (ref_cy, ref_cx).  Returns the warped (th, tw)
     block; residual displacement beyond ±local of the reference clamps.
+    frame: leading index when next_hbm is a stacked (F, H, W) array.
     """
     state = _warp_start(
         next_hbm, fx[ref_cy, ref_cx], fy[ref_cy, ref_cx], y0, x0, scratch,
         sem, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
+        frame=frame,
     )
     return _warp_finish(
         state, fx, fy, y0, x0, scratch,
@@ -1440,6 +1447,534 @@ def make_fused_lk_level_grads(
         min_eig = stats[0, :, 128:128 + w]
         valid = stats[1, :, 128:128 + w] > 0.5
         return flow, min_eig, valid
+
+    return run
+
+
+def _fused_level_grads_batched_kernel(
+    frames_hbm, coarse_hbm,
+    out_hbm,
+    win_scratch, prev_scratch, flow_scratch, out_tile, sems,
+    *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    area_f, eig_thr, n_frames, n_ty, n_tx, prev_row0, write_stats,
+    scharr_mxu,
+):
+    """Frame-batched single-iteration coarse-chain level: grid step
+    (f, ti, tj) solves tile (ti, tj) of pair f -> f+1.
+
+    The video chunk's specialization of ``_fused_level_grads_kernel``
+    (merge_stats + coarse + tight_out always): consecutive cold video pairs
+    are INDEPENDENT (no warm start), so K pairs share one kernel launch —
+    one frames array (K+1, Hp, Wp) in the unified prepadded layout serves
+    both the prev (index f) and warp (index f+1) reads, the grid grows a
+    frame dim, and the double-buffered DMA pipeline runs straight across
+    frame boundaries (prev and the coarse flow input are both read-only, so
+    unlike the iterating kernel there is no ping-pong hazard to fence).
+    Amortizes the per-launch pipeline fill/drain of the small levels over
+    K frames and drops the per-frame XLA dispatch glue of the scan.
+    """
+    fi = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma_p = prev_scratch.shape[-1]
+    s = (fi * n_ty + ti) * n_tx + tj      # linear step index
+    slot = jax.lax.rem(s, 2)
+    oslot = 1 - slot
+    th2, tw2, ceth, cw_dma = _coarse_geometry(tile_h, tile_w)
+    n_pl = 4 if write_stats else 2
+
+    def prev_copy(f_, ti_, tj_, sl):
+        return pltpu.make_async_copy(
+            frames_hbm.at[
+                f_,
+                pl.ds(pl.multiple_of(prev_row0 + ti_ * tile_h, 8),
+                      tile_h + 32),
+                pl.ds(pl.multiple_of(tj_ * tile_w, 128), etw_dma_p),
+            ],
+            prev_scratch.at[sl], sems.at[sl],
+        )
+
+    def flow_copy(f_, ti_, tj_, sl):
+        return pltpu.make_async_copy(
+            coarse_hbm.at[
+                f_, :,
+                pl.ds(pl.multiple_of(ti_ * th2, 8), ceth),
+                pl.ds(pl.multiple_of(tj_ * tw2, 128), cw_dma),
+            ],
+            flow_scratch.at[sl], sems.at[2 + sl],
+        )
+
+    def out_copy(f_, ti_, tj_, sl):
+        return pltpu.make_async_copy(
+            out_tile.at[sl],
+            out_hbm.at[
+                f_, pl.ds(0, n_pl),
+                pl.ds(pl.multiple_of(ti_ * tile_h, 8), tile_h),
+                pl.ds(pl.multiple_of(tj_ * tile_w, 128), tile_w),
+            ],
+            sems.at[5 + sl],
+        )
+
+    @pl.when(s == 0)
+    def _():
+        prev_copy(fi, ti, tj, slot).start()
+        flow_copy(fi, ti, tj, slot).start()
+
+    flow_copy(fi, ti, tj, slot).wait()
+    cfx = flow_scratch[slot, 0]
+    cfy = flow_scratch[slot, 1]
+    rr = (eth // 2 + 1) // 2 - 4 + _HALO
+    rc = (etw // 2 + 1) // 2 - 4 + 128
+    ref_fx = 2.0 * cfx[rr, rc]
+    ref_fy = 2.0 * cfy[rr, rc]
+
+    # warp window of frame fi+1 as soon as the tile-center flow is known
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    wstate = _warp_start(
+        frames_hbm, ref_fx, ref_fy,
+        y0 - _HALO, x0 - _HALO, win_scratch, sems.at[4],
+        pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, local=local,
+        frame=fi + 1,
+    )
+
+    # prefetch the next step's windows (wrapping tj -> ti -> frame)
+    at_row_end = tj == n_tx - 1
+    at_frame_end = at_row_end & (ti == n_ty - 1)
+    ntj = jnp.where(at_row_end, 0, tj + 1)
+    nti = jnp.where(at_frame_end, 0, jnp.where(at_row_end, ti + 1, ti))
+    nf = jnp.where(at_frame_end, fi + 1, fi)
+    last_step = (fi == n_frames - 1) & at_frame_end
+
+    @pl.when(jnp.logical_not(last_step))
+    def _():
+        prev_copy(nf, nti, ntj, oslot).start()
+        flow_copy(nf, nti, ntj, oslot).start()
+
+    # upsample the coarse window (banded bf16 MXU matmuls, overlapping DMAs)
+    rband = _upsample2_band(eth, ceth, _HALO, 2.0)
+    cband = _upsample2_band(etw, cw_dma, 128, 1.0, transposed=True)
+
+    def up2(cw_):
+        t = jax.lax.dot_general(
+            cw_.astype(jnp.bfloat16), cband, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.dot_general(
+            rband, t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    fx_w = up2(cfx)
+    fy_w = up2(cfy)
+
+    prev_copy(fi, ti, tj, slot).wait()
+
+    p = prev_scratch[slot]
+    if scharr_mxu:
+        ix_w, iy_w = _scharr_mxu_cols(p, eth, etw)
+    else:
+        sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+              + 10.0 * p[8:8 + eth, 119:121 + etw]
+              + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+        ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+        sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+              + 10.0 * p[7:9 + eth, 120:120 + etw]
+              + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+        iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+    prev_w = p[8:8 + eth, 120:120 + etw]
+
+    a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
+    a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
+    a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
+    det = a11 * a22 - a12 * a12
+    min_eig = (a11 + a22 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * area_f
+    )
+    solvable = det > 1e-7
+    validf = jnp.where((min_eig >= eig_thr) & solvable, 1.0, 0.0)
+    invd = validf / jnp.where(solvable, det, 1.0)
+
+    jw = _warp_finish(
+        wstate, fx_w, fy_w, y0 - _HALO, x0 - _HALO, win_scratch,
+        h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp,
+        th=eth, tw=etw, local=local,
+    )
+
+    r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
+    b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
+    b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
+    fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    b1 = b1 + a11 * fx_t + a12 * fy_t
+    b2 = b2 + a12 * fx_t + a22 * fy_t
+    du = (a12 * b2 - a22 * b1) * invd
+    dv = (a12 * b1 - a11 * b2) * invd
+    bound = jnp.float32(bound_f)
+
+    @pl.when(s >= 2)
+    def _():
+        out_copy(fi, ti, tj, slot).wait()      # started two steps ago
+
+    out_tile[slot, 0] = jnp.clip(fx_t + du, -bound, bound)
+    out_tile[slot, 1] = jnp.clip(fy_t + dv, -bound, bound)
+    if write_stats:
+        out_tile[slot, 2] = min_eig
+        out_tile[slot, 3] = validf
+    out_copy(fi, ti, tj, slot).start()
+
+    total = n_frames * n_ty * n_tx
+
+    @pl.when(s == total - 1)
+    def _():
+        out_copy(fi, ti, tj, slot).wait()
+        if total >= 2:
+            out_copy(fi, ti, tj, oslot).wait()
+
+
+def make_fused_lk_level_grads_batched(
+    frames: jnp.ndarray,
+    hw: tuple[int, int],
+    min_eig_threshold: float,
+    max_disp: int,
+    tile_h: int,
+    tile_w: int,
+    local: int = LOCAL,
+    win_k: int = 15,
+    write_stats: bool = True,
+    scharr_mxu: bool = True,
+):
+    """Frame-batched build of the single-iteration coarse-chain level.
+
+    frames: (F+1, Hp, Wp) unified-prepadded level planes — pair f solves
+    frames[f] -> frames[f+1].  Returns run(coarse) with
+    coarse: (F, 2, h//2, w//2) coarser-level flow planes ->
+    (flow (F, 2, h, w), min_eig (F, h, w), valid) (stats None unless
+    write_stats).  Per-pair numerics are bit-identical to
+    make_fused_lk_level_grads(prepadded=True, coarse_flow=True).
+    """
+    h, w = hw
+    n_frames = frames.shape[0] - 1
+    assert n_frames >= 1
+    upt, upb, upl, upr = unified_pad_geometry(tile_h, tile_w, max_disp,
+                                              local)
+    assert frames.shape[1:] == (upt + h + upb, upl + w + upr), (
+        frames.shape, (upt, upb, upl, upr), hw)
+    assert h % tile_h == 0 and w % tile_w == 0, (h, w, tile_h, tile_w)
+    assert tile_h % 16 == 0 and tile_w % 256 == 0, (tile_h, tile_w)
+    assert _HALO == 8 and win_k <= 2 * _HALO - 1
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
+    sh, sw = _win_shape(eth, etw, local)
+    th2_c, tw2_c, ceth_c, cw_dma_c = _coarse_geometry(tile_h, tile_w)
+    n_ty = h // tile_h
+    n_tx = w // tile_w
+    n_pl = 4 if write_stats else 2
+    kernel = functools.partial(
+        _fused_level_grads_batched_kernel, h=h, w=w, pad_y=upt, pad_x=upl,
+        max_disp=max_disp, tile_h=tile_h, tile_w=tile_w, local=local,
+        win_k=win_k, bound_f=float(max_disp), area_f=float(win_k * win_k),
+        eig_thr=float(min_eig_threshold) * 1024.0, n_frames=n_frames,
+        n_ty=n_ty, n_tx=n_tx, prev_row0=upt - 16, write_stats=write_stats,
+        scharr_mxu=scharr_mxu and _scharr_mxu_ok(etw, etw_dma_p),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_frames, n_pl, h, w), jnp.float32),
+        grid=(n_frames, n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # stacked frames
+            pl.BlockSpec(memory_space=pltpu.HBM),   # coarse flow planes
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((2, tile_h + 32, etw_dma_p), jnp.float32),
+            pltpu.VMEM((2, 2, ceth_c, cw_dma_c), jnp.float32),
+            pltpu.VMEM((2, n_pl, tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )
+
+    def run(coarse: jnp.ndarray):
+        assert coarse.shape == (n_frames, 2, h // 2, w // 2), coarse.shape
+        buf = jnp.pad(coarse.astype(jnp.float32),
+                      ((0, 0), (0, 0), (8, 8), (128, 128)), mode="edge")
+        out = call(frames, buf)
+        if not write_stats:
+            return out[:, 0:2], None, None
+        return out[:, 0:2], out[:, 2], out[:, 3] > 0.5
+
+    return run
+
+
+def _fused_level_grads_resident_batched_kernel(
+    frames_hbm, flow_in_hbm,
+    out_hbm, stats_hbm,
+    win_scratch, prev_scratch, flow_scratch, grad_cache, a_cache, out_tile,
+    stats_tile, sems,
+    *, h, w, pad_y, pad_x, max_disp, tile_h, tile_w, local, win_k, bound_f,
+    area_f, eig_thr, n_iters, n_frames, prev_row0, scharr_mxu,
+):
+    """Frame-batched VMEM-resident top level: grid step (f, k) runs
+    iteration k of pair f -> f+1 with all pair state resident in VMEM.
+
+    Same residency as ``_fused_level_grads_resident_kernel``, with the
+    chunk's cold pairs sharing one launch: frame f+1's prev window and flow
+    seed prefetch during frame f's iterations (slot = f parity) and the
+    out/stats writes defer their waits two frames, so the per-frame
+    synchronous DMA stalls of the single-pair kernel (prev+flow load, out
+    and stats write ~6 us each) overlap neighboring frames' compute.
+    """
+    fi = pl.program_id(0)
+    k = pl.program_id(1)
+    slot = jax.lax.rem(fi, 2)
+    oslot = 1 - slot
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    c0 = 128 - _HALO
+
+    def prev_copy(f_, sl):
+        return pltpu.make_async_copy(
+            frames_hbm.at[f_, pl.ds(prev_row0, tile_h + 32),
+                          pl.ds(0, prev_scratch.shape[-1])],
+            prev_scratch.at[sl], sems.at[sl],
+        )
+
+    def flow_copy(f_, sl):
+        return pltpu.make_async_copy(
+            flow_in_hbm.at[f_], flow_scratch.at[sl], sems.at[2 + sl]
+        )
+
+    def out_copy(f_, sl):
+        return pltpu.make_async_copy(
+            out_tile.at[sl], out_hbm.at[f_], sems.at[5 + sl]
+        )
+
+    def stats_copy(f_, sl):
+        return pltpu.make_async_copy(
+            stats_tile.at[sl], stats_hbm.at[f_], sems.at[7 + sl]
+        )
+
+    @pl.when((fi == 0) & (k == 0))
+    def _():
+        prev_copy(0, 0).start()
+        flow_copy(0, 0).start()
+
+    @pl.when(k == 0)
+    def _():
+        prev_copy(fi, slot).wait()
+        flow_copy(fi, slot).wait()
+
+        @pl.when(fi + 1 < n_frames)
+        def _():
+            prev_copy(fi + 1, oslot).start()
+            flow_copy(fi + 1, oslot).start()
+
+        p = prev_scratch[slot]
+        if scharr_mxu:
+            ix_w, iy_w = _scharr_mxu_cols(p, eth, etw)
+        else:
+            sy = (3.0 * p[7:7 + eth, 119:121 + etw]
+                  + 10.0 * p[8:8 + eth, 119:121 + etw]
+                  + 3.0 * p[9:9 + eth, 119:121 + etw]) * (1.0 / 16.0)
+            ix_w = (sy[:, 2:] - sy[:, :-2]) * 0.5
+            sx = (3.0 * p[7:9 + eth, 119:119 + etw]
+                  + 10.0 * p[7:9 + eth, 120:120 + etw]
+                  + 3.0 * p[7:9 + eth, 121:121 + etw]) * (1.0 / 16.0)
+            iy_w = (sx[2:, :] - sx[:-2, :]) * 0.5
+
+        def fill(a, width):
+            ext = width - a.shape[-1]
+            if ext == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], ext))], axis=-1
+            )
+
+        gw = grad_cache.shape[-1]
+        grad_cache[0] = fill(ix_w, gw)
+        grad_cache[1] = fill(iy_w, gw)
+        grad_cache[2] = fill(p[8:8 + eth, 120:120 + etw], gw)
+        a11 = _boxsum_tile_mxu(ix_w * ix_w, win_k, tile_h, tile_w)
+        a12 = _boxsum_tile_mxu(ix_w * iy_w, win_k, tile_h, tile_w)
+        a22 = _boxsum_tile_mxu(iy_w * iy_w, win_k, tile_h, tile_w)
+        det = a11 * a22 - a12 * a12
+        min_eig = (a11 + a22
+                   - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+            2.0 * area_f
+        )
+        solvable = det > 1e-7
+        validf = jnp.where((min_eig >= eig_thr) & solvable, 1.0, 0.0)
+        aw = a_cache.shape[-1]
+        a_cache[0] = fill(a11, aw)
+        a_cache[1] = fill(a12, aw)
+        a_cache[2] = fill(a22, aw)
+        a_cache[3] = fill(validf / jnp.where(solvable, det, 1.0), aw)
+
+        @pl.when(fi >= 2)
+        def _():
+            stats_copy(fi, slot).wait()    # started two frames ago
+        stats_tile[slot, 0] = fill(min_eig, aw)
+        stats_tile[slot, 1] = fill(validf, aw)
+        stats_copy(fi, slot).start()
+
+    fx_w = flow_scratch[slot, 0, :, c0:c0 + etw]
+    fy_w = flow_scratch[slot, 1, :, c0:c0 + etw]
+    jw = _warp_core(
+        frames_hbm, fx_w, fy_w, -_HALO, -_HALO, win_scratch, sems.at[4],
+        h=h, w=w, pad_y=pad_y, pad_x=pad_x, max_disp=max_disp, th=eth,
+        tw=etw, local=local, ref_cy=eth // 2, ref_cx=etw // 2, frame=fi + 1,
+    )
+    ix_w = grad_cache[0, :, :etw]
+    iy_w = grad_cache[1, :, :etw]
+    prev_w = grad_cache[2, :, :etw]
+    r = jw - prev_w - (ix_w * fx_w + iy_w * fy_w)
+    b1 = _boxsum_tile_mxu(ix_w * r, win_k, tile_h, tile_w)
+    b2 = _boxsum_tile_mxu(iy_w * r, win_k, tile_h, tile_w)
+    a11 = a_cache[0, :, :tile_w]
+    a12 = a_cache[1, :, :tile_w]
+    a22 = a_cache[2, :, :tile_w]
+    invd = a_cache[3, :, :tile_w]
+    fx_t = fx_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    fy_t = fy_w[_HALO:_HALO + tile_h, _HALO:_HALO + tile_w]
+    b1 = b1 + a11 * fx_t + a12 * fy_t
+    b2 = b2 + a12 * fx_t + a22 * fy_t
+    du = (a12 * b2 - a22 * b1) * invd
+    dv = (a12 * b1 - a11 * b2) * invd
+    bound = jnp.float32(bound_f)
+    fx_new = jnp.clip(fx_t + du, -bound, bound)
+    fy_new = jnp.clip(fy_t + dv, -bound, bound)
+    fdw = flow_scratch.shape[-1]
+    row0 = flow_scratch[slot, 0, _HALO:_HALO + tile_h]
+    row1 = flow_scratch[slot, 1, _HALO:_HALO + tile_h]
+    flow_scratch[slot, 0, _HALO:_HALO + tile_h] = jnp.concatenate(
+        [row0[:, :128], fx_new, row0[:, 128 + tile_w:fdw]], axis=1
+    )
+    flow_scratch[slot, 1, _HALO:_HALO + tile_h] = jnp.concatenate(
+        [row1[:, :128], fy_new, row1[:, 128 + tile_w:fdw]], axis=1
+    )
+
+    @pl.when(k == n_iters - 1)
+    def _():
+        ow = out_tile.shape[-1]
+
+        def fill2(a):
+            ext = ow - a.shape[-1]
+            if ext == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], ext))], axis=-1
+            )
+
+        @pl.when(fi >= 2)
+        def _():
+            out_copy(fi, slot).wait()      # started two frames ago
+        out_tile[slot, 0] = fill2(fx_new)
+        out_tile[slot, 1] = fill2(fy_new)
+        out_copy(fi, slot).start()
+
+    @pl.when((fi == n_frames - 1) & (k == n_iters - 1))
+    def _():
+        out_copy(fi, slot).wait()
+        stats_copy(fi, slot).wait()
+        if n_frames >= 2:
+            out_copy(fi, oslot).wait()
+            stats_copy(fi, oslot).wait()
+
+
+def make_fused_lk_level_grads_resident_batched(
+    frames: jnp.ndarray,
+    hw: tuple[int, int],
+    n_iters: int,
+    min_eig_threshold: float,
+    max_disp: int,
+    local: int = LOCAL,
+    win_k: int = 15,
+    scharr_mxu: bool = True,
+):
+    """Frame-batched build of the VMEM-resident top level.
+
+    frames: (F+1, Hp, Wp) unified-prepadded top-level planes; hw the true
+    level size (one tile: h <= 272, w <= 512, h % 8 == 0).  Returns
+    run(flow_init=None) -> (flow (F, 2, h, w) planes, min_eig, valid);
+    flow_init may be (F, 2, h, w) planes for a warm seed.  Per-pair
+    numerics bit-identical to make_fused_lk_level_grads_resident.
+    """
+    h, w = hw
+    n_frames = frames.shape[0] - 1
+    assert n_frames >= 1
+    tile_h, tile_w = h, w
+    assert h <= 272 and w <= 512 and h % 8 == 0, (h, w)
+    assert win_k <= 2 * _HALO - 1
+    eth = tile_h + 2 * _HALO
+    etw = tile_w + 2 * _HALO
+    etw_dma = -(-(tile_w + 128 + _HALO) // 128) * 128
+    etw_dma_p = -(-(tile_w + 128 + _HALO + 1) // 128) * 128
+    tw_pad = -(-tile_w // 128) * 128
+    sh, sw = _win_shape(eth, etw, local)
+    upt, upb, upl, upr = unified_pad_geometry(tile_h, tile_w, max_disp,
+                                              local)
+    assert frames.shape[1:] == (upt + h + upb, upl + w + upr), (
+        frames.shape, (upt, upb, upl, upr))
+    assert upl + w + upr >= etw_dma_p, (upr, etw_dma_p)
+    kernel = functools.partial(
+        _fused_level_grads_resident_batched_kernel, h=h, w=w, pad_y=upt,
+        pad_x=upl, max_disp=max_disp, tile_h=tile_h, tile_w=tile_w,
+        local=local, win_k=win_k, bound_f=float(max_disp),
+        area_f=float(win_k * win_k),
+        eig_thr=float(min_eig_threshold) * 1024.0, n_iters=n_iters,
+        n_frames=n_frames, prev_row0=upt - 16,
+        scharr_mxu=scharr_mxu and _scharr_mxu_ok(etw, etw_dma_p),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_frames, 2, tile_h, tw_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_frames, 2, tile_h, tw_pad), jnp.float32),
+        ),
+        grid=(n_frames, n_iters),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # stacked frames
+            pl.BlockSpec(memory_space=pltpu.HBM),   # per-pair flow seeds
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sh, sw), jnp.float32),
+            pltpu.VMEM((2, tile_h + 32, etw_dma_p), jnp.float32),
+            pltpu.VMEM((2, 2, eth, etw_dma), jnp.float32),
+            pltpu.VMEM((3, eth, -(-etw // 128) * 128), jnp.float32),
+            pltpu.VMEM((4, tile_h, tw_pad), jnp.float32),
+            pltpu.VMEM((2, 2, tile_h, tw_pad), jnp.float32),
+            pltpu.VMEM((2, 2, tile_h, tw_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+    )
+
+    def run(flow_init=None):
+        if flow_init is None:
+            buf = jnp.zeros((n_frames, 2, eth, etw_dma), jnp.float32)
+        else:
+            assert flow_init.shape == (n_frames, 2, h, w), flow_init.shape
+            buf = jnp.pad(
+                flow_init.astype(jnp.float32),
+                ((0, 0), (0, 0), (_HALO, _HALO), (128, etw_dma - 128 - w)),
+                mode="edge")
+        out, stats = call(frames, buf)
+        return (out[:, :, :, :w], stats[:, 0, :, :w],
+                stats[:, 1, :, :w] > 0.5)
 
     return run
 

@@ -26,31 +26,40 @@ from lk_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 import bench
-from lk_tpu.config import DenseLKConfig
+from lk_tpu.config import DenseLKConfig, LKConfig
+
+_LK_FIELDS = {f.name for f in dataclasses.fields(LKConfig)}
 
 
-def parse_variant(spec: str) -> dict:
-    if not spec:
-        return {}
-    out = {}
-    for kv in spec.split(","):
-        k, v = kv.split("=")
-        out[k.strip()] = ast.literal_eval(v.strip())
-    return out
+def parse_variant(spec: str) -> tuple[dict, dict]:
+    """Split 'k=v,...' into (DenseLKConfig overrides, LKConfig overrides) —
+    LKConfig keys (e.g. max_level) route to bench.LK_OVERRIDES."""
+    dense_kv, lk_kv = {}, {}
+    if spec:
+        for kv in spec.split(","):
+            k, v = kv.split("=")
+            k = k.strip()
+            (lk_kv if k in _LK_FIELDS else dense_kv)[k] = ast.literal_eval(
+                v.strip())
+    return dense_kv, lk_kv
 
 
 def main():
     specs = sys.argv[1:] or ["scharr_mxu=False", "scharr_mxu=True"]
     base = DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True)
-    variants = [(s or "base", dataclasses.replace(base, **parse_variant(s)))
-                for s in specs]
+    variants = []
+    for s in specs:
+        dense_kv, lk_kv = parse_variant(s)
+        variants.append((s or "base", dataclasses.replace(base, **dense_kv),
+                         lk_kv))
 
     rng = np.random.default_rng(1234)
     scn_t = bench._scene(rng, bench.H, bench.W, 3.7, -2.2)
     scn_z = bench._scene_zoom(rng, bench.H, bench.W, 1.004, 0.3)
     scn_n = bench._scene_natural(bench.H, bench.W, 2.6, -1.8)
 
-    for name, d in variants:
+    for name, d, lk_kv in variants:
+        bench.LK_OVERRIDES = lk_kv
         epe_t = bench.epe_check(d, *scn_t)
         epe_z = bench.epe_check(d, *scn_z)
         epe_n = bench.epe_check(d, *scn_n) if scn_n else float("nan")
@@ -58,13 +67,14 @@ def main():
               f"natural={epe_n:.4f}")
 
     # interleave throughput reps: A B A B to cancel slow process drift
-    results = {name: [] for name, _ in variants}
+    results = {name: [] for name, _, _ in variants}
     for round_ in range(2):
-        for name, d in variants:
+        for name, d, lk_kv in variants:
+            bench.LK_OVERRIDES = lk_kv
             fps = bench.throughput(d)
             results[name].append(fps)
             print(f"round {round_} {name:30s} {fps:8.1f} fps")
-    for name, _ in variants:
+    for name, _, _ in variants:
         print(f"{name:30s} best {max(results[name]):8.1f} fps "
               f"reps {['%.0f' % r for r in results[name]]}")
 

@@ -478,6 +478,31 @@ class TestPrepaddedLevels:
                 borderMode=cv.BORDER_REFLECT_101))
         return jnp.asarray(np.stack(frames))
 
+    def test_chunked_video_chain_matches_perframe(self, rng):
+        """video_chunk=K (frame-batched kernels, scan over chunks + tail)
+        == the per-frame prepadded chain, bit-for-bit, on every output."""
+        from lk_tpu.config import DenseLKConfig, LKConfig
+        from lk_tpu.flow import dense
+
+        cfg = LKConfig(max_level=1)
+        d0 = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
+                           fused_coarse_chain=True)
+        dc = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
+                           fused_coarse_chain=True, video_chunk=3)
+        # 8 frames = 7 pairs: two chunks of 3 plus a 1-pair per-frame tail
+        fr = self._video_frames(rng, 128, 1024, 8)
+        plan = dense._video_level_plan(
+            cfg, dc, dense.pyramid_base_geometry(128, 1024, cfg, dc))
+        assert plan is not None
+        out_c = dense.dense_pyramidal_lk_video(fr, cfg, dc)
+        out_f = dense.dense_pyramidal_lk_video(fr, cfg, d0)
+        np.testing.assert_array_equal(np.asarray(out_c.flow),
+                                      np.asarray(out_f.flow))
+        np.testing.assert_array_equal(np.asarray(out_c.min_eig),
+                                      np.asarray(out_f.min_eig))
+        np.testing.assert_array_equal(np.asarray(out_c.valid),
+                                      np.asarray(out_f.valid))
+
     @pytest.mark.parametrize("warm", [False, True])
     def test_prepadded_video_chain_matches_percall(self, rng, monkeypatch,
                                                    warm):
