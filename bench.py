@@ -227,8 +227,10 @@ def throughput(dcfg: "DenseLKConfig") -> float:
     # the RTT drift that skewed fixed-constant subtraction by up to ±10%
     # (measured round 2: the constant moves several ms within one process).
     # min-of-reps: RTT noise is one-sided (positive outliers only).
-    c0 = int(os.environ.get("LK_BENCH_CHAIN0", "10"))
-    c1 = int(os.environ.get("LK_BENCH_CHAIN1", "40"))
+    # 12/36 (not 10/40): both divisible by the production video_chunk=4
+    # (and by 3/6/12 for chunk sweeps); the slope statistic is unchanged
+    c0 = int(os.environ.get("LK_BENCH_CHAIN0", "12"))
+    c1 = int(os.environ.get("LK_BENCH_CHAIN1", "36"))
 
     def chained(n):
         if VIDEO:

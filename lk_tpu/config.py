@@ -64,8 +64,19 @@ class DenseLKConfig:
     """
 
     outer_iters: int = 6
-    iter_schedule: Tuple[int, ...] = (1, 1, 6)
+    iter_schedule: Tuple[int, ...] = (1, 1, 1, 6)
     max_disp: int = 32
+    # Dense pyramid depth override: the dense paths run this many levels
+    # regardless of LKConfig.max_level (0 = follow max_level).  The sparse
+    # tracker keeps the reference's maxLevel=2 exactly (LK_Final.py:81-86);
+    # the dense flagship is OUR design and a 4th level is strictly better
+    # on v5e (r4 A/B, same process): 1850 -> 2256 fps @1080p (the 6
+    # resident top iterations run at 136x256 instead of 272x512) AND far
+    # more accurate on hard motion (EPE vs GT: 20 px shift 17.3 -> 0.16,
+    # 3% zoom 4.55 -> 1.64, 1.5 deg rot 3.07 -> 1.44 px — the deeper
+    # coarse search covers displacement the 3-level top clamps) at ~0.001
+    # px cost on mild scenes (gate 0.0070 -> 0.0083, natural unchanged).
+    pyramid_levels: int = 4
     # Use the Pallas locality-exploiting warp kernel (flow/pallas_kernels.py)
     # instead of the XLA shift-select warp.  Requires TPU (Mosaic); the XLA
     # path remains the portable fallback and the accuracy reference.
@@ -139,7 +150,7 @@ class DenseLKConfig:
     # 0.035 vs 0.049, strong-zoom 3.81 vs 4.09 in the failure regime) at
     # +10% 1080p fps; (2,3,5) is 4% faster still but gives back 0.2 px on
     # strong zoom.
-    warp_local_schedule: Tuple[int, ...] = (3, 4, 5)
+    warp_local_schedule: Tuple[int, ...] = (3, 4, 5, 5)
     # Single-tile levels (the 270p pyramid top) run the VMEM-resident fused
     # kernel: gradients/A/flow persist in scratch across iterations and only
     # the warp window DMA touches HBM per iteration.  0 disables.
@@ -164,7 +175,9 @@ class DenseLKConfig:
     # numerics are bit-identical to the per-frame chain (tests pin it).
     # Requires the prepadded video plan (falls back per-frame otherwise);
     # 0 disables.  Leftover pairs ((T-1) % chunk) run the per-frame chain.
-    video_chunk: int = 0
+    # Default 4: same-process A/B @1080p r4 measured 1695/1708 -> 1856/1794
+    # fps (chunk=6 noisier, no better), bit-identical numerics.
+    video_chunk: int = 4
     # Build the pyramid with the dual-plane Pallas kernel (pallas_kernels.
     # pallas_pyr_down_pair): both frames of a level decimated by ONE kernel
     # that reads the raw frames as fused row-pair views and does all

@@ -66,6 +66,21 @@ from lk_tpu.ops.resize import upsample2_linear
 _MIN_EIG_SCALE = 1024.0
 
 
+def _effective_cfg(cfg: LKConfig, dense_cfg: DenseLKConfig) -> LKConfig:
+    """Apply DenseLKConfig.pyramid_levels to cfg.max_level (idempotent).
+
+    The dense paths run their own pyramid depth (default 4 levels —
+    measured both faster and far more accurate on v5e, see config.py)
+    while the sparse tracker keeps the reference's maxLevel semantics.
+    Every function in this module that reads cfg.max_level routes through
+    this, so direct calls into chain internals (bench.py, scripts) see the
+    same depth as the public entry points."""
+    lv = dense_cfg.pyramid_levels
+    if lv and lv - 1 != cfg.max_level:
+        cfg = dataclasses.replace(cfg, max_level=lv - 1)
+    return cfg
+
+
 class DenseFlowResult(NamedTuple):
     flow: jnp.ndarray      # (H, W, 2) float32, (dx, dy)
     min_eig: jnp.ndarray   # (H, W) float32, per-pixel min eigenvalue / area
@@ -336,6 +351,7 @@ def dense_pyramidal_lk_batched(
     the warp uses); box sums near frame borders see replicated rows instead
     of zero-padding — a border-only deviation from the unbatched path.
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     b, h, w = prev.shape
     top = cfg.max_level
     win_h = cfg.win_size[1]
@@ -376,6 +392,7 @@ def dense_pyramidal_lk(
 
     prev/next: (H, W) float32 grayscale in 0..255.  Returns level-0 flow.
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     # NOTE: keep the two pyr_down calls per level separate — stacking the
     # pair into one (2, H, W) call measures 585 vs 770 fps end-to-end
     # (batched 3-D stencils lower pathologically on this backend).
@@ -423,6 +440,7 @@ def pyramid_base_geometry(
     pads — full-array copies, ~35 MB of HBM traffic at 1080p level 0 —
     become no-ops.
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     if not (dense_cfg.pallas_pyramid and cfg.max_level > 0):
         return h_true, w_true
     n0 = dense_cfg.level_iters(0)
@@ -433,7 +451,8 @@ def pyramid_base_geometry(
     if fuse0 or dense_cfg.use_pallas_warp:
         l0_cfg = dataclasses.replace(
             dense_cfg, outer_iters=n0, use_pallas_fused=fuse0,
-            warp_local=dense_cfg.level_local(0))
+            warp_local=dense_cfg.level_local(0),
+            fused_resident_max_h=0)   # level 0 is never the top here
         _, _, _, hp, wp = pallas_level_geometry(h_true, w_true, l0_cfg)
     else:
         hp, wp = h_true, w_true
@@ -455,6 +474,7 @@ def build_frame_levels(
     per video step is too little work to amortize the kernel's fixed
     per-step DMA cost, unlike the pair path where two planes share a grid.
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     h_true, w_true = frame.shape[-2:]
     f = frame.astype(jnp.float32)
     hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
@@ -491,6 +511,7 @@ def _video_level_plan(
     and every finer level a single-iteration coarse-chain consumer with
     tiles aligned for the tight out writes.
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     from lk_tpu.flow.pallas_kernels import unified_pad_geometry
 
     if not (dense_cfg.use_pallas_warp or dense_cfg.use_pallas_fused):
@@ -513,7 +534,13 @@ def _video_level_plan(
         disp = dense_cfg.level_disp(level)
         lcfg = dataclasses.replace(
             dense_cfg, outer_iters=n_it, use_pallas_fused=True,
-            warp_local=local)
+            warp_local=local,
+            # residency is a TOP-level affordance: a non-top level that
+            # fits the resident gate (e.g. 272x512 level 2 of the 4-level
+            # production pyramid) must still run the multi-tile grads
+            # kernel so the coarse chain / tight-out layout holds
+            fused_resident_max_h=(dense_cfg.fused_resident_max_h
+                                  if level == top else 0))
         g_res, th, tw, hp, wp = pallas_level_geometry(hs[level], ws[level],
                                                       lcfg)
         if (hp, wp) != (hs[level], ws[level]):
@@ -573,6 +600,7 @@ def dense_flow_from_levels_prepadded(
     writes the (min_eig, valid) stats planes.  Numerically identical to
     dense_flow_from_levels on the same levels (same kernels, same values —
     the unified pad regions replicate the same frame edges)."""
+    cfg = _effective_cfg(cfg, dense_cfg)
     from lk_tpu.flow.pallas_kernels import (
         make_fused_lk_level_grads,
         make_fused_lk_level_grads_resident,
@@ -631,6 +659,7 @@ def dense_flow_chunk_prepadded(
     the batched kernels run the same per-tile computation in the same
     order, and the decimation below unrolls the SAME 2-D pyr_down call per
     plane (a (K+1, H, W) batched matmul is not guaranteed bit-equal)."""
+    cfg = _effective_cfg(cfg, dense_cfg)
     from lk_tpu.flow.pallas_kernels import (
         make_fused_lk_level_grads_batched,
         make_fused_lk_level_grads_resident_batched,
@@ -702,6 +731,7 @@ def dense_pyramidal_lk_video(
     per-pair numerics are preserved exactly (zero flow init per pair; only
     the redundant pyramid recomputation is gone).
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     assert frames.ndim == 3, frames.shape
     h_true, w_true = frames.shape[-2:]
     t_total = frames.shape[0]
@@ -833,6 +863,7 @@ def dense_flow_from_levels(
     level (the video warm start); return_top_flow additionally returns the
     converged top-level flow as (h_top, w_top, 2) for the next step's seed.
     """
+    cfg = _effective_cfg(cfg, dense_cfg)
     h_true, w_true = true_hw
     top = cfg.max_level
     h_top, w_top = prev_levels[top].shape[-2:]
@@ -861,6 +892,9 @@ def dense_flow_from_levels(
         level_cfgs.append(dataclasses.replace(
             dense_cfg, outer_iters=n_it, use_pallas_fused=fuse,
             warp_local=dense_cfg.level_local(level),
+            # top-only residency (see _video_level_plan)
+            fused_resident_max_h=(dense_cfg.fused_resident_max_h
+                                  if level == top else 0),
         ))
 
     def _grads_path(level: int) -> bool:

@@ -36,8 +36,17 @@ def parse_variant(spec: str) -> tuple[dict, dict]:
     LKConfig keys (e.g. max_level) route to bench.LK_OVERRIDES."""
     dense_kv, lk_kv = {}, {}
     if spec:
-        for kv in spec.split(","):
-            k, v = kv.split("=")
+        parts, depth, cur = [], 0, []
+        for ch in spec:
+            depth += {"(": 1, ")": -1}.get(ch, 0)
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        for kv in parts:
+            k, v = kv.split("=", 1)
             k = k.strip()
             (lk_kv if k in _LK_FIELDS else dense_kv)[k] = ast.literal_eval(
                 v.strip())

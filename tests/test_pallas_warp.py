@@ -191,7 +191,8 @@ class TestPallasLocalWarp:
         res = dense_pyramidal_lk(
             jnp.asarray(img), jnp.asarray(nxt), LKConfig(max_level=2),
             dense_cfg=DenseLKConfig(use_pallas_warp=True,
-                                    fused_grads_in_kernel=True),
+                                    fused_grads_in_kernel=True,
+                                    pyramid_levels=3),
         )
         flow = np.asarray(res.flow)[16:-16, 16:-16]
         err = np.hypot(flow[..., 0] - 3.0, flow[..., 1] + 2.0)
@@ -217,7 +218,8 @@ class TestPallasLocalWarp:
             # fused_tile_h=64 forces a 2x2 grid: both coarse-window DMA
             # offsets (ti, tj) exercised
             d = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
-                              fused_tile_h=64, fused_coarse_chain=chain)
+                              fused_tile_h=64, fused_coarse_chain=chain,
+                              pyramid_levels=2)
             outs[chain] = np.asarray(dense_pyramidal_lk(
                 jnp.asarray(img), jnp.asarray(nxt), LKConfig(max_level=1),
                 dense_cfg=d).flow)
@@ -389,7 +391,8 @@ class TestPallasPyrDownPair:
             jnp.asarray(img), jnp.asarray(nxt), LKConfig(max_level=2),
             dense_cfg=DenseLKConfig(use_pallas_warp=True,
                                     fused_grads_in_kernel=True,
-                                    pallas_pyramid=True),
+                                    pallas_pyramid=True,
+                                    pyramid_levels=3),
         )
         assert res.flow.shape == (h, w, 2)
         assert res.min_eig.shape == (h, w)
@@ -486,9 +489,11 @@ class TestPrepaddedLevels:
 
         cfg = LKConfig(max_level=1)
         d0 = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
-                           fused_coarse_chain=True)
+                           fused_coarse_chain=True, pyramid_levels=2,
+                           video_chunk=0)
         dc = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
-                           fused_coarse_chain=True, video_chunk=3)
+                           fused_coarse_chain=True, pyramid_levels=2,
+                           video_chunk=3)
         # 8 frames = 7 pairs: two chunks of 3 plus a 1-pair per-frame tail
         fr = self._video_frames(rng, 128, 1024, 8)
         plan = dense._video_level_plan(
@@ -513,7 +518,8 @@ class TestPrepaddedLevels:
 
         cfg = LKConfig(max_level=1)
         d = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
-                          fused_coarse_chain=True, video_warm_start=warm)
+                          fused_coarse_chain=True, video_warm_start=warm,
+                          pyramid_levels=2, video_chunk=0)
         fr = self._video_frames(rng, 128, 1024, 5 if warm else 4)
         plan = dense._video_level_plan(
             cfg, d, dense.pyramid_base_geometry(128, 1024, cfg, d))
