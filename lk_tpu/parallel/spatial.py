@@ -80,7 +80,7 @@ def spatial_dense_lk_level(
     dense_cfg: DenseLKConfig = DenseLKConfig(),
     max_disp: int = 8,
     axis_name: str = "spatial",
-    exchange_per_iter: bool = False,
+    exchange_per_iter: bool = True,
 ):
     """Build a row-sharded dense LK level: (H, W) sharded on rows -> flow.
 
@@ -88,7 +88,22 @@ def spatial_dense_lk_level(
     P(axis_name, None) on rows; flow_init (H, W, 2) sharded the same.
     Interior rows match the single-device level for |flow| <= max_disp
     (see the module docstring for the halo envelope).
-    """
+
+    Default measured (scripts/exp_spatial_halo.py, 8-way 1080p, 6 iters,
+    win 15, disp 8): per-iter exchange 1462/1482/1485 ms vs single-exchange
+    2104/2165/2234 (CPU mesh, collectives ~free — the delta isolates the
+    wide halo's redundant compute: 108 redundant rows on a 135-row shard =
+    80%).  The ICI side the CPU mesh can't see is bounded: 5 extra
+    exchange rounds x ~0.58 MB of flow halo = ~65 us/level at ~45 GB/s per
+    link — two orders below the ~600 ms compute delta, so per-iter wins
+    everywhere sharding is worth doing at all.  Caveat: per-iter resets
+    the per-pixel eps early-stop each round, so converged pixels keep
+    taking ~eps updates — scattered |diff| vs the single-exchange program
+    up to ~0.8 px max on a full 1080p scene (zero-mean noise; both
+    variants stay seam-exact vs the 1-device level in
+    tests/test_parallel.py).  Set False for bitwise parity with the
+    unsharded iteration sequence at the cost of the redundant halo
+    compute."""
     win_h = cfg.win_size[1]
     base = _iteration_halo(cfg, max_disp)
     n_iters = dense_cfg.outer_iters
