@@ -33,7 +33,11 @@ from lk_tpu.flow.dense import (build_frame_levels,
                                dense_pyramidal_lk, pyramid_base_geometry,
                                _video_level_plan)
 
-H, W = 1080, 1920
+# The shipped benchmark is 1080p; LK_BENCH_H/W exist for the measured
+# streams-vs-resolution curve in BENCH_NOTES (e.g. 272x480 for the 270p
+# datum) — the driver always runs the default geometry.
+H = int(os.environ.get("LK_BENCH_H", "1080"))
+W = int(os.environ.get("LK_BENCH_W", "1920"))
 # Measured on v5e: batch 1 is fastest per frame (batched 3-D stencils lower
 # poorly, and even row-folded batches scale sublinearly on this backend).
 BATCH = int(os.environ.get("LK_BENCH_BATCH", "1"))
