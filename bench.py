@@ -49,10 +49,14 @@ REPS = int(os.environ.get("LK_BENCH_REPS", "5"))
 VIDEO = int(os.environ.get("LK_BENCH_VIDEO", "1")) == 1 and BATCH == 1
 BASELINE_FPS = 27.0  # reference full pipeline on CPU (BASELINE.md)
 
-# LKConfig override hook for experiment scripts (e.g. max_level sweeps in
-# scripts/exp_ab_video.py): set bench.LK_OVERRIDES = {"max_level": 3}
-# before calling epe_check/throughput.  The shipped bench always runs the
-# production LKConfig() (empty overrides).
+# LKConfig override hook for experiment scripts (e.g. window sweeps): set
+# bench.LK_OVERRIDES = {"win_size": (21, 21)} before calling
+# epe_check/throughput.  NOTE a "max_level" override here is a silent no-op
+# on every dense path: DenseLKConfig.pyramid_levels (default 4) overwrites
+# it in flow/dense._effective_cfg — sweep depth via
+# DenseLKConfig(pyramid_levels=N) instead (pyramid_levels=0 honors
+# max_level).  The shipped bench always runs the production LKConfig()
+# (empty overrides).
 LK_OVERRIDES: dict = {}
 
 
@@ -163,7 +167,11 @@ def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None) -> float:
     import cv2 as cv
 
     if VIDEO:
-        # gate the exact per-step program the video chain executes
+        # Gate the per-frame prepadded chain.  When video_chunk > 1 the
+        # throughput path runs the frame-batched chunk kernels instead;
+        # their per-pair bit-identity to this chain is pinned by
+        # tests/test_pallas_warp.py (CPU interpret), so gating the
+        # per-frame form gates the chunked program too.
         plan = _video_level_plan(
             _lk_cfg(), dcfg, pyramid_base_geometry(H, W, _lk_cfg(), dcfg))
 

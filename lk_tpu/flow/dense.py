@@ -66,7 +66,10 @@ from lk_tpu.ops.resize import upsample2_linear
 _MIN_EIG_SCALE = 1024.0
 
 
-def _effective_cfg(cfg: LKConfig, dense_cfg: DenseLKConfig) -> LKConfig:
+def _effective_cfg(
+    cfg: LKConfig, dense_cfg: DenseLKConfig,
+    hw: tuple[int, int] | None = None,
+) -> LKConfig:
     """Apply DenseLKConfig.pyramid_levels to cfg.max_level (idempotent).
 
     The dense paths run their own pyramid depth (default 4 levels —
@@ -74,10 +77,29 @@ def _effective_cfg(cfg: LKConfig, dense_cfg: DenseLKConfig) -> LKConfig:
     while the sparse tracker keeps the reference's maxLevel semantics.
     Every function in this module that reads cfg.max_level routes through
     this, so direct calls into chain internals (bench.py, scripts) see the
-    same depth as the public entry points."""
+    same depth as the public entry points.
+
+    NOTE: an explicitly passed LKConfig.max_level is overridden whenever
+    pyramid_levels != 0; depth sweeps must set
+    DenseLKConfig(pyramid_levels=N) (or pyramid_levels=0 to honor
+    max_level) — see config.py.
+
+    hw (when known): clamp the depth so the TOP level stays at least the
+    window size in both dims, matching cv2's buildOpticalFlowPyramid cap
+    of maxLevel by winSize (reference LK_Final.py:81-86 passes 64-px ROIs
+    through cv2, which caps internally); a 9x8 top level under a 15x15
+    window is all border."""
     lv = dense_cfg.pyramid_levels
     if lv and lv - 1 != cfg.max_level:
         cfg = dataclasses.replace(cfg, max_level=lv - 1)
+    if hw is not None:
+        h, w = hw
+        win_w, win_h = cfg.win_size
+        ml = cfg.max_level
+        while ml > 0 and ((h >> ml) < win_h or (w >> ml) < win_w):
+            ml -= 1
+        if ml != cfg.max_level:
+            cfg = dataclasses.replace(cfg, max_level=ml)
     return cfg
 
 
@@ -351,8 +373,8 @@ def dense_pyramidal_lk_batched(
     the warp uses); box sums near frame borders see replicated rows instead
     of zero-padding — a border-only deviation from the unbatched path.
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
     b, h, w = prev.shape
+    cfg = _effective_cfg(cfg, dense_cfg, (h, w))
     top = cfg.max_level
     win_h = cfg.win_size[1]
     need = max(
@@ -392,7 +414,7 @@ def dense_pyramidal_lk(
 
     prev/next: (H, W) float32 grayscale in 0..255.  Returns level-0 flow.
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, prev.shape[-2:])
     # NOTE: keep the two pyr_down calls per level separate — stacking the
     # pair into one (2, H, W) call measures 585 vs 770 fps end-to-end
     # (batched 3-D stencils lower pathologically on this backend).
@@ -439,8 +461,19 @@ def pyramid_base_geometry(
     (1088x2048 -> 544x1024 -> 272x512), so the per-level frame AND flow
     pads — full-array copies, ~35 MB of HBM traffic at 1080p level 0 —
     become no-ops.
+
+    The pre-pad is taken ONLY when the pad-free video plan actually
+    materializes at the padded base.  A fat speculative pad is an accuracy
+    hazard, not just waste: at 720p the candidate base is 768x1280 (48
+    replicated rows), and decimating the pad region deviates from cv2's
+    reflect-101 pyramid borders badly enough that the top-level search
+    near the bottom edge leaves the oracle's basin on weak texture
+    (measured: a -9 px flow cluster on the zero-texture car hood of the
+    natural gate scene, mean EPE 0.114 vs 0.076 without the pre-pad —
+    scripts/exp_720p_natural.py).  1080p's 8-row pad keeps the plan and
+    is unaffected.
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, (h_true, w_true))
     if not (dense_cfg.pallas_pyramid and cfg.max_level > 0):
         return h_true, w_true
     n0 = dense_cfg.level_iters(0)
@@ -457,6 +490,9 @@ def pyramid_base_geometry(
     else:
         hp, wp = h_true, w_true
     hp = -(-hp // 16) * 16   # pair-kernel DMA alignment floor
+    if (hp, wp) != (h_true, w_true) and _video_level_plan(
+            cfg, dense_cfg, (hp, wp)) is None:
+        return h_true, w_true
     return hp, wp
 
 
@@ -474,7 +510,7 @@ def build_frame_levels(
     per video step is too little work to amortize the kernel's fixed
     per-step DMA cost, unlike the pair path where two planes share a grid.
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, frame.shape[-2:])
     h_true, w_true = frame.shape[-2:]
     f = frame.astype(jnp.float32)
     hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
@@ -511,7 +547,7 @@ def _video_level_plan(
     and every finer level a single-iteration coarse-chain consumer with
     tiles aligned for the tight out writes.
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, base_hw)
     from lk_tpu.flow.pallas_kernels import unified_pad_geometry
 
     if not (dense_cfg.use_pallas_warp or dense_cfg.use_pallas_fused):
@@ -600,7 +636,7 @@ def dense_flow_from_levels_prepadded(
     writes the (min_eig, valid) stats planes.  Numerically identical to
     dense_flow_from_levels on the same levels (same kernels, same values —
     the unified pad regions replicate the same frame edges)."""
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, true_hw)
     from lk_tpu.flow.pallas_kernels import (
         make_fused_lk_level_grads,
         make_fused_lk_level_grads_resident,
@@ -659,7 +695,7 @@ def dense_flow_chunk_prepadded(
     the batched kernels run the same per-tile computation in the same
     order, and the decimation below unrolls the SAME 2-D pyr_down call per
     plane (a (K+1, H, W) batched matmul is not guaranteed bit-equal)."""
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, true_hw)
     from lk_tpu.flow.pallas_kernels import (
         make_fused_lk_level_grads_batched,
         make_fused_lk_level_grads_resident_batched,
@@ -731,9 +767,9 @@ def dense_pyramidal_lk_video(
     per-pair numerics are preserved exactly (zero flow init per pair; only
     the redundant pyramid recomputation is gone).
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
     assert frames.ndim == 3, frames.shape
     h_true, w_true = frames.shape[-2:]
+    cfg = _effective_cfg(cfg, dense_cfg, (h_true, w_true))
     t_total = frames.shape[0]
 
     # Prepadded chain: frames carried as unified-padded pyramid levels, the
@@ -863,7 +899,7 @@ def dense_flow_from_levels(
     level (the video warm start); return_top_flow additionally returns the
     converged top-level flow as (h_top, w_top, 2) for the next step's seed.
     """
-    cfg = _effective_cfg(cfg, dense_cfg)
+    cfg = _effective_cfg(cfg, dense_cfg, true_hw)
     h_true, w_true = true_hw
     top = cfg.max_level
     h_top, w_top = prev_levels[top].shape[-2:]

@@ -21,11 +21,15 @@ Halo envelope (documented because it is the correctness contract):
 * ``exchange_per_iter=True`` instead re-exchanges a one-iteration halo
   (``max_disp + win_h//2 + 4``) before every outer iteration — n_iters
   ppermute rounds instead of one, for (n_iters-1)*win_h//2 fewer halo rows
-  of redundant compute.  Numerics caveat: the per-pixel eps early-stop
-  (``active``) resets each round, so pixels keep receiving ~eps-sized
-  updates after convergence — parity vs the single-exchange program is
-  within ~0.1 px on scattered pixels (measured 0.066 max over 43k at the
-  displacement bound), not bitwise.
+  of redundant compute.  The per-pixel eps early-stop (``active``) is
+  carried ACROSS rounds and frozen pixels are masked outside the level
+  call, reproducing the unsharded iteration sequence on interior rows
+  (r5; the old per-round restart caused ~0.8 px scatter).  Residual
+  deviation is a bounded ulp-flip population: the outside step test
+  ``fl(f+du)-f`` can land on the other side of eps than ``du``, flipping
+  a freeze decision for ~2e-4 of pixels (measured at 8-way 1080p:
+  bulk p99 ~7e-6 px, isolated flips up to ~1 px on aliased texture —
+  tests/test_parallel.py::test_spatial_per_iter_halo_production_geometry).
 
 Both variants are pinned against the single-device level at the
 displacement bound (flow == max_disp crossing a shard seam) in
@@ -96,14 +100,12 @@ def spatial_dense_lk_level(
     80%).  The ICI side the CPU mesh can't see is bounded: 5 extra
     exchange rounds x ~0.58 MB of flow halo = ~65 us/level at ~45 GB/s per
     link — two orders below the ~600 ms compute delta, so per-iter wins
-    everywhere sharding is worth doing at all.  Caveat: per-iter resets
-    the per-pixel eps early-stop each round, so converged pixels keep
-    taking ~eps updates — scattered |diff| vs the single-exchange program
-    up to ~0.8 px max on a full 1080p scene (zero-mean noise; both
-    variants stay seam-exact vs the 1-device level in
-    tests/test_parallel.py).  Set False for bitwise parity with the
-    unsharded iteration sequence at the cost of the redundant halo
-    compute."""
+    everywhere sharding is worth doing at all.  Numerics: the eps
+    early-stop mask is carried across exchange rounds (see module
+    docstring), so per-iter matches the unsharded program except for a
+    ~2e-4 population of eps-threshold ulp flips; single-exchange
+    (False) is bitwise-faithful to the unsharded sequence at the cost
+    of the redundant halo compute."""
     win_h = cfg.win_size[1]
     base = _iteration_halo(cfg, max_disp)
     n_iters = dense_cfg.outer_iters
@@ -116,6 +118,19 @@ def spatial_dense_lk_level(
     if exchange_per_iter:
         one_iter = dataclasses.replace(dense_cfg, outer_iters=1,
                                        iter_schedule=())
+        # The XLA level body has a per-pixel eps early-stop; chopping the
+        # loop into 1-iteration calls would restart it each round (the old
+        # behavior — scattered ~0.8 px deviations vs the unsharded
+        # program).  Carrying the converged mask ACROSS rounds and freezing
+        # masked pixels outside the call reproduces the unsharded sequence
+        # exactly on interior rows: the box sums read start-of-round flow,
+        # so a frozen pixel feeds its neighbors the same value the
+        # unsharded iteration would.  The Pallas fused kernels have no eps
+        # stop at all (every pixel takes |delta|~0 steps after
+        # convergence), so there the 1-iteration chop is already exact and
+        # the mask must stay off.
+        track_eps = not dense_cfg.use_pallas_fused
+        eps2 = jnp.float32(cfg.eps * cfg.eps)
 
         def local_fn(prev, nxt, flow):
             # frames don't change across iterations: exchange them once,
@@ -123,14 +138,26 @@ def spatial_dense_lk_level(
             prev_h = halo_exchange(prev, base, axis_name)
             next_h = halo_exchange(nxt, base, axis_name)
 
-            def body(_, f):
+            def body(_, carry):
+                f, active = carry
                 fx = halo_exchange(f[..., 0], base, axis_name)
                 fy = halo_exchange(f[..., 1], base, axis_name)
-                return run_level(prev_h, next_h,
-                                 jnp.stack([fx, fy], axis=-1),
-                                 base, one_iter)
+                f_new = run_level(prev_h, next_h,
+                                  jnp.stack([fx, fy], axis=-1),
+                                  base, one_iter)
+                if not track_eps:
+                    return f_new, active
+                delta = f_new - f
+                f_kept = jnp.where(active[..., None], f_new, f)
+                active = active & (
+                    jnp.sum(delta * delta, axis=-1) > eps2)
+                return f_kept, active
 
-            return jax.lax.fori_loop(0, n_iters, body, flow)
+            # derive from flow (not a fresh constant) so the carry stays
+            # axis-varying under shard_map (cf. flow/dense.py active0)
+            active0 = jnp.sum(flow * flow, axis=-1) >= -1.0
+            f, _ = jax.lax.fori_loop(0, n_iters, body, (flow, active0))
+            return f
     else:
         # single exchange sized for the full iteration count: the flow
         # coupling in the box sums moves the halo's stale front inward

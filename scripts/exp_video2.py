@@ -72,7 +72,10 @@ def fps_chain(dcfg, n):
     @jax.jit
     def run(f0):
         levels0 = build_frame_levels(f0, CFG, dcfg)
-        top = CFG.max_level
+        # the dense paths run DenseLKConfig.pyramid_levels deep, not
+        # CFG.max_level (flow/dense._effective_cfg) — derive from the
+        # built levels so the seed matches the real top geometry
+        top = len(levels0) - 1
         h_top = levels0[top].shape[0]
         w_top = levels0[top].shape[1]
         seed0 = jnp.zeros((h_top, w_top, 2), jnp.float32)
