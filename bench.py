@@ -41,7 +41,7 @@ W = int(os.environ.get("LK_BENCH_W", "1920"))
 # Measured on v5e: batch 1 is fastest per frame (batched 3-D stencils lower
 # poorly, and even row-folded batches scale sublinearly on this backend).
 BATCH = int(os.environ.get("LK_BENCH_BATCH", "1"))
-REPS = int(os.environ.get("LK_BENCH_REPS", "5"))
+REPS = int(os.environ.get("LK_BENCH_REPS", "8"))
 # Video mode (default): a lax.scan carries each frame's pyramid to the next
 # step so every frame is padded/decimated ONCE — the production streaming
 # form (cv.buildOpticalFlowPyramid is OpenCV's same reuse affordance).
@@ -150,20 +150,29 @@ def _scene_zoom(rng, h, w, scale, angle_deg):
     return img.astype(np.float32), nxt, gt
 
 
-def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None) -> float:
-    """Mean EPE vs cv.calcOpticalFlowPyrLK on one (img, nxt) scene pair.
+def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None):
+    """Accuracy of the production program on one (img, nxt) scene pair:
+    returns (mean EPE vs cv.calcOpticalFlowPyrLK on oracle-reliable
+    points, mean EPE vs exact ground truth on cv2-successful points).
 
     Runs at the SAME 1080p geometry the throughput measures, so the gate
     exercises the identical compiled program including the pad-and-crop
     path (1080 -> 1088 rows) and the production tile sizes.
 
-    gt: optional callable pts -> (N, 2) exact ground-truth flow.  When
-    given, points where the ORACLE itself is >1 px from the exact answer
-    are excluded — on the synthetic scenes that is ~0% of points, on the
-    natural scene ~2% (overlay graphics / occlusion texture where cv2
-    diverges by up to ~26 px while this implementation stays within ~2;
-    a raw mean there measures cv2's failures, not ours — see
-    tests/test_natural_image.py for the per-point evidence)."""
+    gt: callable pts -> (N, 2) exact ground-truth flow.  The parity term
+    counts only points where the ORACLE itself is within 0.3 px of the
+    exact answer.  Why 0.3 (r5; was 1.0): on the natural scene cv2's own
+    mean error vs ground truth is 0.118 px — MORE than the 0.1 gate — and
+    at the old filter every one of the top-8 'errors' was a point where
+    this implementation sits within ~0.1 px of truth while cv2 is
+    0.85-1.0 px off (scripts/exp_720p_natural.py per-point dumps).  A
+    vs-cv2 mean over such points measures oracle noise, and converging
+    CLOSER to truth pushes it UP.  The filter keeps ~92% of natural-scene
+    points (~100% synthetic).  So parity can't hide absolute drift, the
+    second term bounds EPE vs exact ground truth over ALL cv2-successful
+    points with the same 0.1 limit — strictly tighter than the old gate
+    in the absolute-accuracy direction (gt=None: parity term only, no
+    sanity filter)."""
     import cv2 as cv
 
     if VIDEO:
@@ -199,12 +208,14 @@ def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None) -> float:
     )
     cv_flow = p1.reshape(-1, 2) - pts
     st = st.reshape(-1).astype(bool)
-    if gt is not None:
-        st &= np.linalg.norm(cv_flow - gt(pts), axis=1) < 1.0
     ours = flow[pts[:, 1].astype(int), pts[:, 0].astype(int)]
-    return float(
-        np.linalg.norm(ours[st] - cv_flow[st], axis=1).mean()
-    )
+    if gt is None:
+        return float(np.linalg.norm(ours[st] - cv_flow[st], axis=1).mean())
+    gtv = gt(pts)
+    sane = st & (np.linalg.norm(cv_flow - gtv, axis=1) < 0.3)
+    epe_cv = float(np.linalg.norm(ours[sane] - cv_flow[sane], axis=1).mean())
+    epe_gt = float(np.linalg.norm(ours[st] - gtv[st], axis=1).mean())
+    return epe_cv, epe_gt
 
 
 def throughput(dcfg: "DenseLKConfig") -> float:
@@ -317,8 +328,13 @@ def throughput(dcfg: "DenseLKConfig") -> float:
         return run
 
     run0, run1 = chained(c0), chained(c1)
-    float(run0(prev, nxt))  # compile + warm
-    float(run1(prev, nxt))
+    # compile + warm TWICE: the device/tunnel warms across the first few
+    # executions (serve walls measured up to +30% cold-to-warm), and the
+    # driver's one-process run otherwise inherits the cold state — r4's
+    # driver artifact sat ~10% under the same-process A/B range
+    for _ in range(2):
+        float(run0(prev, nxt))
+        float(run1(prev, nxt))
     t0s, t1s = [], []
     for _ in range(REPS):
         t = time.perf_counter()
@@ -340,11 +356,15 @@ def main():
     # local residual clamp is the known weak spot).  A perf change that
     # hurts only divergent flow can no longer sail through.
     st, sz = _scene(rng, H, W, 3.7, -2.2), _scene_zoom(rng, H, W, 1.004, 0.3)
-    epe_t = epe_check(dcfg, st[0], st[1], gt=st[2])
-    epe_z = epe_check(dcfg, sz[0], sz[1], gt=sz[2])
+    epe_t, gt_t = epe_check(dcfg, st[0], st[1], gt=st[2])
+    epe_z, gt_z = epe_check(dcfg, sz[0], sz[1], gt=sz[2])
     nat = _scene_natural(H, W, 2.6, -1.8)
-    epe_n = epe_check(dcfg, nat[0], nat[1], gt=nat[2]) if nat else 0.0
-    epe = max(epe_t, epe_z, epe_n)
+    epe_n, gt_n = epe_check(dcfg, nat[0], nat[1], gt=nat[2]) if nat \
+        else (0.0, 0.0)
+    # Dual gate (see epe_check): parity with the oracle where the oracle
+    # is reliable AND absolute accuracy vs exact ground truth, worst
+    # scene, worst term.
+    epe = max(epe_t, epe_z, epe_n, gt_t, gt_z, gt_n)
     fps = throughput(dcfg) if epe < 0.1 else 0.0
     print(json.dumps({
         # vs_baseline is apples-to-oranges by necessity: the reference
@@ -354,9 +374,13 @@ def main():
         # string names the baseline workload so the artifact carries the
         # caveat itself.
         "metric": "dense_pyramidal_lk_1080p_fps_per_chip"
-                  f" (epe_vs_opencv: shift={epe_t:.4f}px"
-                  f" zoom+rot={epe_z:.4f}px natural={epe_n:.4f}px,"
-                  " gate=worst<0.1;"
+                  " (epe vs_cv2|vs_groundtruth px:"
+                  f" shift={epe_t:.4f}|{gt_t:.4f}"
+                  f" zoom+rot={epe_z:.4f}|{gt_z:.4f}"
+                  f" natural={epe_n:.4f}|{gt_n:.4f},"
+                  " gate=worst-of-all<0.1, cv2 terms on oracle-sane pts"
+                  " [cv2 within 0.3px of truth; cv2's own natural-scene"
+                  " error is 0.118px];"
                   " vs_baseline ref=27fps sparse 20-pt CPU pipeline"
                   " — generous: dense-vs-sparse workloads differ)",
         "value": round(fps, 1),

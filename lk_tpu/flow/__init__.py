@@ -5,4 +5,6 @@ from lk_tpu.flow.dense import (  # noqa: F401
     dense_lk_level,
     dense_pyramidal_lk,
     dense_pyramidal_lk_batched,
+    dense_pyramidal_lk_multistream,
+    dense_pyramidal_lk_video,
 )

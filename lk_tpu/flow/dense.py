@@ -882,6 +882,31 @@ def dense_pyramidal_lk_video(
         lambda a, b: jnp.concatenate([a[None], b], axis=0), res0, out)
 
 
+def dense_pyramidal_lk_multistream(
+    frames: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    dense_cfg: DenseLKConfig = DenseLKConfig(),
+) -> DenseFlowResult:
+    """Dense video flow over N independent streams: (N, T, H, W) ->
+    flows (N, T-1, H, W, 2).
+
+    One TPU core interleaves streams in time (kernels serialize), so this
+    is a ``lax.map`` of the video chain: the per-stream program compiles
+    ONCE and every stream's carry (frame pyramid, warm-start seed) stays
+    resident in HBM for the whole run — the execution model behind the
+    "N x 30fps dense streams/chip" serving claim, measured (not fps/30
+    arithmetic) in scripts/exp_multistream_dense.py.  Streams are fully
+    independent; there is no cross-stream batching to exploit because the
+    chunked video kernels already amortize launch overhead within a
+    stream (DenseLKConfig.video_chunk).  For multi-CHIP stream
+    parallelism shard the N axis over a mesh data axis (see
+    __graft_entry__.dryrun_multichip's dense stream-DP leg).
+    """
+    assert frames.ndim == 4, frames.shape
+    return jax.lax.map(
+        lambda fr: dense_pyramidal_lk_video(fr, cfg, dense_cfg), frames)
+
+
 def dense_flow_from_levels(
     prev_levels,
     next_levels,
@@ -904,7 +929,10 @@ def dense_flow_from_levels(
     top = cfg.max_level
     h_top, w_top = prev_levels[top].shape[-2:]
     if init_flow is None:
-        flow = jnp.zeros((h_top, w_top, 2), jnp.float32)
+        # derive from the level data (not a fresh constant) so the seed
+        # stays axis-varying under shard_map stream sharding (cf. active0)
+        flow = jnp.broadcast_to(
+            (prev_levels[top] * 0.0)[..., None], (h_top, w_top, 2))
     else:
         flow = init_flow.astype(jnp.float32)
         if flow.shape[:2] != (h_top, w_top):  # sized for the unpadded top

@@ -1,0 +1,113 @@
+"""Measured N-stream dense throughput on one chip (VERDICT r4 item 2).
+
+Every prior "N x 30fps dense streams/chip" figure was single-stream fps
+divided by 30.  This harness runs N ACTUALLY-CONCURRENT dense video
+streams — concurrent in the only sense one TPU core offers: kernels
+serialize, so streams interleave in time while every stream's carry
+(current frame, accumulator) stays resident in HBM for the whole run —
+and reports the measured aggregate frames/s next to the N x single-stream
+extrapolation.
+
+Per outer step each stream advances video_chunk frames through the
+PRODUCTION entry point (flow.dense.dense_pyramidal_lk_video, chunk path
+at plan geometries), with frames generated on device exactly like
+bench.py's chain (fresh-frame fma per step, data-dependence threading so
+nothing is dead-code eliminated).  Timing is the bench.py differential
+protocol: chain two lengths inside one jit each, slope of min-of-reps.
+
+Usage:  python scripts/exp_multistream_dense.py        # sweep N=1,4,8,16
+        LK_MS_N=8 LK_BENCH_H=272 LK_BENCH_W=480 ...    # one point
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from lk_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from lk_tpu.config import DenseLKConfig, LKConfig
+from lk_tpu.flow.dense import dense_pyramidal_lk_video
+
+H = int(os.environ.get("LK_BENCH_H", "1080"))
+W = int(os.environ.get("LK_BENCH_W", "1920"))
+REPS = int(os.environ.get("LK_BENCH_REPS", "6"))
+S0 = int(os.environ.get("LK_MS_CHAIN0", "3"))
+S1 = int(os.environ.get("LK_MS_CHAIN1", "9"))
+
+CFG = LKConfig()
+DCFG = DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True)
+K = max(DCFG.video_chunk, 1)
+
+
+def make_run(n_streams: int, n_steps: int):
+    scales = jnp.asarray((1.0 - 1e-6) ** np.arange(K + 1), jnp.float32)
+
+    @jax.jit
+    def run(frames0):
+        def one(args):
+            fi, ai = args
+            stack = fi[None] * scales[:, None, None] + ai * 1e-9
+            res = dense_pyramidal_lk_video(stack, CFG, DCFG)
+            ai = ai * (1 - 1e-9) + jnp.sum(res.flow) * 1e-9
+            return stack[-1], ai
+
+        def outer(carry, _):
+            f, acc = carry
+            f, acc = jax.lax.map(one, (f, acc))
+            return (f, acc), None
+
+        acc0 = jnp.zeros((n_streams,), jnp.float32)
+        (_, acc), _ = jax.lax.scan(outer, (frames0, acc0), None,
+                                   length=n_steps)
+        return jnp.sum(acc)
+
+    return run
+
+
+def measure(n_streams: int) -> float:
+    rng = np.random.default_rng(7)
+    frames0 = jnp.asarray(
+        (rng.random((n_streams, H, W)) * 255).astype(np.float32))
+    run0 = make_run(n_streams, S0)
+    run1 = make_run(n_streams, S1)
+    for _ in range(2):
+        float(run0(frames0))
+        float(run1(frames0))
+    t0s, t1s = [], []
+    for _ in range(REPS):
+        t = time.perf_counter()
+        float(run0(frames0))
+        t0s.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        float(run1(frames0))
+        t1s.append(time.perf_counter() - t)
+    dt_step = (min(t1s) - min(t0s)) / (S1 - S0)   # one outer step
+    return n_streams * K / dt_step                # aggregate frames/s
+
+
+def main():
+    only = os.environ.get("LK_MS_N")
+    ns = [int(only)] if only else [1, 4, 8, 16]
+    base = None
+    for n in ns:
+        fps = measure(n)
+        if base is None:
+            base = fps / n
+        print(f"N={n:3d} @{H}x{W}: aggregate {fps:8.1f} f/s"
+              f" = {fps/30:7.1f} x 30fps dense streams"
+              f" | per-stream {fps/n:7.1f}"
+              f" | vs N x single-stream extrapolation"
+              f" {fps/(n*base)*100:5.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,28 @@ class TestDenseConfigSchedules:
                            outer_iters=9, warp_local=7)
         assert d2.level_iters(2) == 9 and d2.level_local(2) == 7
         assert [d.level_disp(lv) for lv in (0, 1, 2, 4)] == [32, 16, 8, 4]
+
+
+def test_multistream_matches_per_stream_video(rng):
+    """dense_pyramidal_lk_multistream == per-stream dense_pyramidal_lk_video
+    (it is a lax.map of the same program; parity guards the carry
+    threading and any future cross-stream batching)."""
+    from lk_tpu.flow.dense import (dense_pyramidal_lk_multistream,
+                                   dense_pyramidal_lk_video)
+
+    n, t, h, w = 3, 4, 64, 96
+    fr = np.empty((n, t, h, w), np.float32)
+    for i in range(n):
+        img = cv.GaussianBlur(
+            (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0)
+        for k in range(t):
+            m = np.float32([[1, 0, 0.9 * k + 0.3 * i], [0, 1, -0.6 * k]])
+            fr[i, k] = cv.warpAffine(img, m, (w, h), flags=cv.INTER_LINEAR,
+                                     borderMode=cv.BORDER_REFLECT_101)
+    ms = dense_pyramidal_lk_multistream(jnp.asarray(fr))
+    for i in range(n):
+        single = dense_pyramidal_lk_video(jnp.asarray(fr[i]))
+        np.testing.assert_allclose(np.asarray(ms.flow[i]),
+                                   np.asarray(single.flow), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ms.valid[i]),
+                                      np.asarray(single.valid))
