@@ -101,18 +101,84 @@ def hough_vote(
     )
 
 
+_PROF_R = 16   # half-width of the per-peak profile window (bins)
+
+
+def _axis_profile_theta(acc, t, r, n_theta, n_rho):
+    """(2*_PROF_R+1,) accumulator profile along theta through peak (t, r).
+
+    Crossing the 0/pi wrap flips the line's rho sign, so the wrapped
+    neighbor is sampled at the MIRRORED rho bin (the rho grid is symmetric
+    about 0: bin n_rho-1-r holds exactly -rho(r))."""
+    offs = jnp.arange(-_PROF_R, _PROF_R + 1)
+    raw = t + offs
+    tt = raw % n_theta
+    crossed = (raw < 0) | (raw >= n_theta)
+    rr = jnp.where(crossed, n_rho - 1 - r, r)
+    return acc[tt, rr]
+
+
+def _axis_profile_rho(acc, t, r, n_rho):
+    """(2*_PROF_R+1,) profile along rho through peak (t, r), edge-clamped
+    (votes are clipped into the grid, so beyond-edge bins repeat the edge
+    value rather than pretending zero support)."""
+    offs = jnp.arange(-_PROF_R, _PROF_R + 1)
+    rr = jnp.clip(r + offs, 0, n_rho - 1)
+    return acc[t, rr]
+
+
+def _parabolic_offset(prof):
+    """Sub-bin offset of the apex from a 3-tap parabola at the profile
+    center; 0 when the neighborhood is degenerate (flat or not a max)."""
+    c = _PROF_R
+    ym, y0, yp = prof[c - 1], prof[c], prof[c + 1]
+    denom = ym - 2.0 * y0 + yp
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                denom, 1.0),
+                    0.0)
+    return jnp.clip(off, -0.5, 0.5)
+
+
+def _hwhm_radius(prof, val, max_r):
+    """Half-width-at-half-max suppression radius from the peak's own vote
+    spread: the first offset (either side) where the profile drops below
+    half the peak value, clamped to [2, max_r].  Replaces the r3 magic
+    n//24 constants — a sharp peak no longer suppresses a neighbor 10
+    bins away, a broad smeared peak still suppresses its full footprint."""
+    c = _PROF_R
+    below = prof < 0.5 * val
+    idx = jnp.arange(_PROF_R + 1)
+    right = jnp.where(jnp.any(below[c:]),
+                      jnp.argmax(below[c:]), _PROF_R + 1)
+    left_rev = below[:c + 1][::-1]   # [c, c-1, ..., 0]
+    left = jnp.where(jnp.any(left_rev), jnp.argmax(left_rev), _PROF_R + 1)
+    del idx
+    return jnp.clip(jnp.maximum(left, right), 2, max_r)
+
+
 def hough_peaks(
     acc: jnp.ndarray,
     k: int = 4,
     image_size: Tuple[int, int] = (1, 1),
-    suppress_theta: int = 8,
-    suppress_rho: int = 12,
+    suppress_theta: int | None = None,
+    suppress_rho: int | None = None,
 ) -> HoughResult:
-    """Top-k accumulator peaks with greedy non-max suppression.
+    """Top-k accumulator peaks: greedy non-max suppression + sub-bin
+    refinement (r5; r3 returned raw bin centers with fixed n//24 radii).
 
     k is static and small (dominant road lines), so the greedy loop is a
     k-step ``lax.scan`` masking a suppression window around each peak;
-    theta distance wraps (bin 0 and bin n_theta-1 are neighbors).
+    theta distance wraps (bin 0 and bin n_theta-1 are neighbors, with the
+    rho mirror — see _axis_profile_theta).
+
+    Each peak's (theta, rho) is refined by an independent 3-tap parabolic
+    fit along each axis (the standard sub-bin apex estimate; exact for a
+    quadratic peak, and the bilinear rho vote split makes the profile
+    locally quadratic under sub-bin jitter).  Suppression radii default to
+    the measured half-width-at-half-max of each peak's own profile
+    (clamped [2, _PROF_R]); pass explicit suppress_theta/suppress_rho for
+    the fixed-radius behavior.
     """
     n_theta, n_rho = acc.shape
     w, h = image_size
@@ -124,15 +190,29 @@ def hough_peaks(
         flat = jnp.argmax(grid)
         t, r = flat // n_rho, flat % n_rho
         val = grid[t, r]
+        # profiles come from the ORIGINAL accumulator: earlier peaks'
+        # -inf suppression must not distort this peak's shape estimate
+        prof_t = _axis_profile_theta(acc, t, r, n_theta, n_rho)
+        prof_r = _axis_profile_rho(acc, t, r, n_rho)
+        if suppress_theta is None:
+            sup_t = _hwhm_radius(prof_t, val, _PROF_R)
+        else:
+            sup_t = jnp.int32(suppress_theta)
+        if suppress_rho is None:
+            sup_r = _hwhm_radius(prof_r, val, _PROF_R)
+        else:
+            sup_r = jnp.int32(suppress_rho)
         dt = jnp.minimum((ti - t) % n_theta, (t - ti) % n_theta)
-        win = (dt[:, None] <= suppress_theta) & (
-            jnp.abs(ri[None, :] - r) <= suppress_rho
+        win = (dt[:, None] <= sup_t) & (
+            jnp.abs(ri[None, :] - r) <= sup_r
         )
-        return jnp.where(win, -jnp.inf, grid), (t, r, val)
+        t_sub = t.astype(jnp.float32) + _parabolic_offset(prof_t)
+        r_sub = r.astype(jnp.float32) + _parabolic_offset(prof_r)
+        return jnp.where(win, -jnp.inf, grid), (t_sub, r_sub, val)
 
     _, (ts, rs, vals) = jax.lax.scan(body, acc, None, length=k)
-    theta = ts.astype(jnp.float32) * (jnp.pi / n_theta)
-    rho = rs.astype(jnp.float32) / (n_rho - 1) * (2.0 * rho_max) - rho_max
+    theta = jnp.mod(ts, float(n_theta)) * (jnp.pi / n_theta)
+    rho = rs / (n_rho - 1) * (2.0 * rho_max) - rho_max
     return HoughResult(accumulator=acc, theta=theta, rho=rho, votes=vals)
 
 
@@ -149,6 +229,4 @@ def hough_road_lines(
     """Vote + peak-extract in one jittable call (the app-facing entry)."""
     acc = hough_vote(start, stop, mask, image_size, n_theta, n_rho,
                      length_weighted)
-    return hough_peaks(acc, k, image_size,
-                       suppress_theta=max(n_theta // 24, 2),
-                       suppress_rho=max(n_rho // 24, 2))
+    return hough_peaks(acc, k, image_size)   # adaptive HWHM suppression

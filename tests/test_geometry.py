@@ -227,3 +227,68 @@ def test_hough_recovers_two_lane_scene(rng):
                                  jnp.asarray(stops[:60]))
     np.testing.assert_allclose(np.degrees(np.asarray(th)), 135.0, atol=0.2)
     np.testing.assert_allclose(np.asarray(rh), 80.0, atol=1.5)
+
+
+def test_hough_subbin_peak_precision(rng):
+    """Sub-bin refinement (r5): lines placed BETWEEN bin centers must come
+    back with sub-bin accuracy — the r3 peaks were bin centers (1 deg x
+    ~17 px cells), so the best possible error was half a cell."""
+    import math
+
+    from lk_tpu.geometry.hough import hough_road_lines
+
+    size = (640, 480)
+    n_theta, n_rho = 180, 256
+    t_bin = math.pi / n_theta
+    r_bin = 2.0 * math.hypot(*size) / (n_rho - 1)
+    # ground-truth lines offset ~0.3 bins from the nearest center
+    lines = [(52.3 * t_bin, 40.35 * r_bin - math.hypot(*size)),
+             (121.7 * t_bin, 180.6 * r_bin - math.hypot(*size))]
+    starts, stops = [], []
+    for th, rh in lines:
+        n = np.array([math.cos(th), math.sin(th)])
+        d = np.array([-math.sin(th), math.cos(th)])
+        for s in np.linspace(-200, 200, 24):
+            p0 = rh * n + s * d
+            starts.append(p0)
+            stops.append(p0 + 14.0 * d + rng.normal(0, 0.05, 2))
+    starts = np.asarray(starts, np.float32)
+    stops = np.asarray(stops, np.float32)
+    res = hough_road_lines(jnp.asarray(starts), jnp.asarray(stops),
+                           jnp.ones(len(starts), bool), size, k=2)
+    got = sorted(zip(np.asarray(res.theta), np.asarray(res.rho)))
+    want = sorted(lines)
+    for (tg, rg), (tw, rw) in zip(got, want):
+        assert abs(tg - tw) < 0.35 * t_bin, (tg, tw, t_bin)
+        assert abs(rg - rw) < 0.5 * r_bin, (rg, rw, r_bin)
+
+
+def test_hough_adaptive_suppression_separates_close_lines(rng):
+    """Two sharp parallel lines ~5 rho bins apart: the r3 fixed n//24
+    radii (theta 7, rho 10 bins) suppressed the second line outright;
+    the HWHM-derived radii must keep both."""
+    import math
+
+    from lk_tpu.geometry.hough import hough_road_lines
+
+    size = (640, 480)
+    n_rho = 256
+    r_bin = 2.0 * math.hypot(*size) / (n_rho - 1)
+    th = math.radians(70.0)
+    rhos = [30.0, 30.0 + 5.2 * r_bin]
+    starts, stops = [], []
+    for rh in rhos:
+        n = np.array([math.cos(th), math.sin(th)])
+        d = np.array([-math.sin(th), math.cos(th)])
+        for s in np.linspace(-150, 150, 20):
+            p0 = rh * n + s * d
+            starts.append(p0)
+            stops.append(p0 + 12.0 * d)
+    starts = np.asarray(starts, np.float32)
+    stops = np.asarray(stops, np.float32)
+    res = hough_road_lines(jnp.asarray(starts), jnp.asarray(stops),
+                           jnp.ones(len(starts), bool), size, k=2)
+    got_rho = np.sort(np.asarray(res.rho))
+    want = np.sort(np.asarray(rhos, np.float32))
+    assert np.asarray(res.votes).min() > 0, res.votes
+    np.testing.assert_allclose(got_rho, want, atol=0.6 * r_bin)
