@@ -40,12 +40,23 @@ from lk_tpu.flow.dense import dense_pyramidal_lk_video
 H = int(os.environ.get("LK_BENCH_H", "1080"))
 W = int(os.environ.get("LK_BENCH_W", "1920"))
 REPS = int(os.environ.get("LK_BENCH_REPS", "6"))
-S0 = int(os.environ.get("LK_MS_CHAIN0", "3"))
-S1 = int(os.environ.get("LK_MS_CHAIN1", "9"))
 
 CFG = LKConfig()
 DCFG = DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True)
 K = max(DCFG.video_chunk, 1)
+
+
+def chain_steps(n_streams: int) -> tuple[int, int]:
+    """Chain lengths scaled so the run-length DIFFERENCE is >> the
+    multi-ms axon RTT drift at every geometry (the first cut used fixed
+    3/9 steps — at 270p that is ~1 ms of device time and the slope
+    measured pure tunnel noise, 97k 'fps')."""
+    # target ~768 frames of length-difference at 1080p-equivalent work,
+    # scaled up for cheaper geometries
+    f_target = int(512 * (1080 * 1920) / (H * W))
+    s1 = max(9, -(-f_target // (n_streams * K)))
+    s0 = max(1, s1 // 3)
+    return s0, s1
 
 
 def make_run(n_streams: int, n_steps: int):
@@ -77,8 +88,9 @@ def measure(n_streams: int) -> float:
     rng = np.random.default_rng(7)
     frames0 = jnp.asarray(
         (rng.random((n_streams, H, W)) * 255).astype(np.float32))
-    run0 = make_run(n_streams, S0)
-    run1 = make_run(n_streams, S1)
+    s0, s1 = chain_steps(n_streams)
+    run0 = make_run(n_streams, s0)
+    run1 = make_run(n_streams, s1)
     for _ in range(2):
         float(run0(frames0))
         float(run1(frames0))
@@ -90,7 +102,7 @@ def measure(n_streams: int) -> float:
         t = time.perf_counter()
         float(run1(frames0))
         t1s.append(time.perf_counter() - t)
-    dt_step = (min(t1s) - min(t0s)) / (S1 - S0)   # one outer step
+    dt_step = (min(t1s) - min(t0s)) / (s1 - s0)   # one outer step
     return n_streams * K / dt_step                # aggregate frames/s
 
 
@@ -101,12 +113,16 @@ def main():
     for n in ns:
         fps = measure(n)
         if base is None:
-            base = fps / n
+            base = fps      # N=1 aggregate == single-stream fps
+        # One core serializes kernels, so the aggregate can never exceed
+        # the single-stream rate; the honest figure is the EFFICIENCY of
+        # N-resident interleaving vs that rate (the fps/30 arithmetic the
+        # r4 verdict called out assumed 100%).
         print(f"N={n:3d} @{H}x{W}: aggregate {fps:8.1f} f/s"
               f" = {fps/30:7.1f} x 30fps dense streams"
               f" | per-stream {fps/n:7.1f}"
-              f" | vs N x single-stream extrapolation"
-              f" {fps/(n*base)*100:5.1f}%", flush=True)
+              f" | multi-stream efficiency {fps/base*100:5.1f}%",
+              flush=True)
 
 
 if __name__ == "__main__":
