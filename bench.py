@@ -251,9 +251,15 @@ def throughput(dcfg: "DenseLKConfig") -> float:
     # (measured round 2: the constant moves several ms within one process).
     # min-of-reps: RTT noise is one-sided (positive outliers only).
     # 12/36 (not 10/40): both divisible by the production video_chunk=4
-    # (and by 3/6/12 for chunk sweeps); the slope statistic is unchanged
-    c0 = int(os.environ.get("LK_BENCH_CHAIN0", "12"))
-    c1 = int(os.environ.get("LK_BENCH_CHAIN1", "36"))
+    # (and by 3/6/12 for chunk sweeps); the slope statistic is unchanged.
+    # Default chains scale with geometry so the run-length DIFFERENCE
+    # stays >> the multi-ms RTT drift at sub-1080p sizes (at 270p the
+    # 1080p chains are ~1.3 ms of device time and the slope measures
+    # tunnel noise — r5 curve re-measure saw 17.7k vs 30.9k run-to-run)
+    scale = max(1, (1080 * 1920) // (H * W))
+    c0_default = -(-12 * scale // 4) * 4
+    c0 = int(os.environ.get("LK_BENCH_CHAIN0", str(c0_default)))
+    c1 = int(os.environ.get("LK_BENCH_CHAIN1", str(3 * c0_default)))
 
     def chained(n):
         if VIDEO:
