@@ -182,7 +182,8 @@ def epe_check(dcfg: "DenseLKConfig", img, nxt, gt=None):
         # tests/test_pallas_warp.py (CPU interpret), so gating the
         # per-frame form gates the chunked program too.
         plan = _video_level_plan(
-            _lk_cfg(), dcfg, pyramid_base_geometry(H, W, _lk_cfg(), dcfg))
+            _lk_cfg(), dcfg, pyramid_base_geometry(H, W, _lk_cfg(), dcfg),
+            true_hw=(H, W))
 
         def flow_fn(a, b):
             if plan is not None:   # the unified-prepadded production chain
@@ -265,7 +266,8 @@ def throughput(dcfg: "DenseLKConfig") -> float:
         if VIDEO:
             plan = _video_level_plan(
                 _lk_cfg(), dcfg,
-                pyramid_base_geometry(H, W, _lk_cfg(), dcfg))
+                pyramid_base_geometry(H, W, _lk_cfg(), dcfg),
+                true_hw=(H, W))
 
             kc = dcfg.video_chunk
             if plan is not None and kc > 1:

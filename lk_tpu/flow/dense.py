@@ -491,7 +491,7 @@ def pyramid_base_geometry(
         hp, wp = h_true, w_true
     hp = -(-hp // 16) * 16   # pair-kernel DMA alignment floor
     if (hp, wp) != (h_true, w_true) and _video_level_plan(
-            cfg, dense_cfg, (hp, wp)) is None:
+            cfg, dense_cfg, (hp, wp), true_hw=(h_true, w_true)) is None:
         return h_true, w_true
     return hp, wp
 
@@ -536,7 +536,8 @@ class _LevelPlan(NamedTuple):
 
 
 def _video_level_plan(
-    cfg: LKConfig, dense_cfg: DenseLKConfig, base_hw: tuple[int, int]
+    cfg: LKConfig, dense_cfg: DenseLKConfig, base_hw: tuple[int, int],
+    true_hw: tuple[int, int] | None = None,
 ) -> Optional[tuple]:
     """Per-level static geometry for the prepadded video-mode chain, or
     ``None`` when the geometry/config cannot run it (the caller falls back
@@ -546,8 +547,14 @@ def _video_level_plan(
     at its Pallas geometry on the grads kernels, the top level VMEM-resident,
     and every finer level a single-iteration coarse-chain consumer with
     tiles aligned for the tight out writes.
-    """
-    cfg = _effective_cfg(cfg, dense_cfg, base_hw)
+
+    true_hw (when the caller knows it): the UNPADDED frame size, used for
+    the window-size depth clamp so the plan depth always agrees with the
+    builders/solvers (which clamp by true dims).  Clamping by a padded
+    base can disagree near the threshold — e.g. 119 true rows clamp to 3
+    levels while the 128-row base allows 4, and the solvers would then
+    silently treat a mid-plan level as the top (r5 review finding)."""
+    cfg = _effective_cfg(cfg, dense_cfg, true_hw or base_hw)
     from lk_tpu.flow.pallas_kernels import unified_pad_geometry
 
     if not (dense_cfg.use_pallas_warp or dense_cfg.use_pallas_fused):
@@ -778,7 +785,8 @@ def dense_pyramidal_lk_video(
     # Identical numerics; geometry/config gated by _video_level_plan.
     plan = _video_level_plan(
         cfg, dense_cfg,
-        pyramid_base_geometry(h_true, w_true, cfg, dense_cfg))
+        pyramid_base_geometry(h_true, w_true, cfg, dense_cfg),
+        true_hw=(h_true, w_true))
     chunk = dense_cfg.video_chunk
     if (plan is not None and chunk > 1 and t_total - 1 >= chunk
             and not dense_cfg.video_warm_start):
@@ -820,7 +828,8 @@ def dense_pyramidal_lk_video(
                                 for lv in range(cfg.max_level))
             + (dense_cfg.warm_top_iters,))
         warm_plan = _video_level_plan(
-            cfg, warm_d, pyramid_base_geometry(h_true, w_true, cfg, warm_d))
+            cfg, warm_d, pyramid_base_geometry(h_true, w_true, cfg, warm_d),
+            true_hw=(h_true, w_true))
         if warm_plan is not None:
             pads0 = build_frame_levels_prepadded(frames[0], cfg, dense_cfg,
                                                  plan)

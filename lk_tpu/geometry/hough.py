@@ -81,9 +81,15 @@ def hough_vote(
     if length_weighted:
         weight = weight * jnp.linalg.norm(stop - start, axis=-1)
 
-    t_idx = jnp.clip(
+    t_raw = jnp.clip(
         jnp.round(theta / jnp.pi * n_theta).astype(jnp.int32), 0, n_theta
-    ) % n_theta  # round can hit n_theta at the wrap — same line as bin 0
+    )
+    # round can hit n_theta at the wrap: (pi-eps, rho) is the SAME line as
+    # (0, -rho) — the fold to bin 0 must flip rho's sign with it, or
+    # near-vertical segments vote for the reflected line (r5 fix; verified
+    # end-to-end: theta=-0.3 bin, rho=+100 used to come back at -99)
+    rho = jnp.where(t_raw == n_theta, -rho, rho)
+    t_idx = t_raw % n_theta
     t_hot = jax.nn.one_hot(t_idx, n_theta, dtype=jnp.float32)
 
     r_pos = (rho + rho_max) / (2.0 * rho_max) * (n_rho - 1)
@@ -115,7 +121,9 @@ def _axis_profile_theta(acc, t, r, n_theta, n_rho):
     tt = raw % n_theta
     crossed = (raw < 0) | (raw >= n_theta)
     rr = jnp.where(crossed, n_rho - 1 - r, r)
-    return acc[tt, rr]
+    # flattened 1-D gather (33 elements): a vector 2-D gather is the
+    # lowering trap CLAUDE.md bans even at small sizes
+    return acc.reshape(-1)[tt * n_rho + rr]
 
 
 def _axis_profile_rho(acc, t, r, n_rho):
@@ -124,19 +132,21 @@ def _axis_profile_rho(acc, t, r, n_rho):
     value rather than pretending zero support)."""
     offs = jnp.arange(-_PROF_R, _PROF_R + 1)
     rr = jnp.clip(r + offs, 0, n_rho - 1)
-    return acc[t, rr]
+    return acc.reshape(-1)[t * n_rho + rr]
 
 
 def _parabolic_offset(prof):
     """Sub-bin offset of the apex from a 3-tap parabola at the profile
-    center; 0 when the neighborhood is degenerate (flat or not a max)."""
+    center; 0 when the neighborhood is degenerate — flat, not a strict
+    interior max, or an edge-clamped repeat (a clamped rho profile makes
+    ym == y0 exactly, where the raw formula degenerates to ±0.5 and
+    biases edge-bin peaks half a bin OUTWARD)."""
     c = _PROF_R
     ym, y0, yp = prof[c - 1], prof[c], prof[c + 1]
     denom = ym - 2.0 * y0 + yp
-    off = jnp.where(jnp.abs(denom) > 1e-12,
-                    0.5 * (ym - yp) / jnp.where(jnp.abs(denom) > 1e-12,
-                                                denom, 1.0),
-                    0.0)
+    ok = (jnp.abs(denom) > 1e-12) & (ym != y0) & (yp != y0)
+    safe = jnp.where(ok, denom, 1.0)
+    off = jnp.where(ok, 0.5 * (ym - yp) / safe, 0.0)
     return jnp.clip(off, -0.5, 0.5)
 
 
@@ -148,12 +158,10 @@ def _hwhm_radius(prof, val, max_r):
     bins away, a broad smeared peak still suppresses its full footprint."""
     c = _PROF_R
     below = prof < 0.5 * val
-    idx = jnp.arange(_PROF_R + 1)
     right = jnp.where(jnp.any(below[c:]),
                       jnp.argmax(below[c:]), _PROF_R + 1)
-    left_rev = below[:c + 1][::-1]   # [c, c-1, ..., 0]
+    left_rev = jnp.flip(below[:c + 1])   # [c, c-1, ..., 0] (static rev)
     left = jnp.where(jnp.any(left_rev), jnp.argmax(left_rev), _PROF_R + 1)
-    del idx
     return jnp.clip(jnp.maximum(left, right), 2, max_r)
 
 
@@ -202,10 +210,17 @@ def hough_peaks(
             sup_r = _hwhm_radius(prof_r, val, _PROF_R)
         else:
             sup_r = jnp.int32(suppress_rho)
-        dt = jnp.minimum((ti - t) % n_theta, (t - ti) % n_theta)
-        win = (dt[:, None] <= sup_t) & (
-            jnp.abs(ri[None, :] - r) <= sup_r
-        )
+        # theta distance wraps; where the SHORTER path crosses the 0/pi
+        # boundary the same physical line sits at the MIRRORED rho bin —
+        # suppress there, or a near-vertical line's alias across the wrap
+        # survives and consumes a top-k slot as a duplicate
+        diff = jnp.abs(ti - t)
+        dt = jnp.minimum(diff, n_theta - diff)
+        crossed = (n_theta - diff) < diff
+        rho_near = jnp.abs(ri[None, :] - r) <= sup_r
+        rho_mirr = jnp.abs(ri[None, :] - (n_rho - 1 - r)) <= sup_r
+        win = (dt[:, None] <= sup_t) & jnp.where(
+            crossed[:, None], rho_mirr, rho_near)
         t_sub = t.astype(jnp.float32) + _parabolic_offset(prof_t)
         r_sub = r.astype(jnp.float32) + _parabolic_offset(prof_r)
         return jnp.where(win, -jnp.inf, grid), (t_sub, r_sub, val)
@@ -213,6 +228,11 @@ def hough_peaks(
     _, (ts, rs, vals) = jax.lax.scan(body, acc, None, length=k)
     theta = jnp.mod(ts, float(n_theta)) * (jnp.pi / n_theta)
     rho = rs / (n_rho - 1) * (2.0 * rho_max) - rho_max
+    # a refined theta that wrapped across 0/pi names the same line at
+    # NEGATED rho ((pi-eps, rho) == (0-eps -> pi-eps, -rho)); without the
+    # flip the returned line is reflected about the origin (~2|rho| off)
+    wrapped = (ts < 0.0) | (ts >= float(n_theta))
+    rho = jnp.where(wrapped, -rho, rho)
     return HoughResult(accumulator=acc, theta=theta, rho=rho, votes=vals)
 
 

@@ -39,7 +39,9 @@ def epe_stats(dcfg, img, nxt, gt):
                                    pyramid_base_geometry, _video_level_plan)
 
     cfg = bench._lk_cfg()
-    plan = _video_level_plan(cfg, dcfg, pyramid_base_geometry(H, W, cfg, dcfg))
+    plan = _video_level_plan(cfg, dcfg,
+                             pyramid_base_geometry(H, W, cfg, dcfg),
+                             true_hw=(H, W))
 
     def flow_fn(a, b):
         if plan is not None:

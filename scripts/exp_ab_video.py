@@ -69,9 +69,11 @@ def main():
 
     for name, d, lk_kv in variants:
         bench.LK_OVERRIDES = lk_kv
-        epe_t = bench.epe_check(d, *scn_t)
-        epe_z = bench.epe_check(d, *scn_z)
-        epe_n = bench.epe_check(d, *scn_n) if scn_n else float("nan")
+        # r5 dual gate: epe_check returns (vs_cv2_sane, vs_gt) tuples
+        epe_t = bench.epe_check(d, *scn_t)[0]
+        epe_z = bench.epe_check(d, *scn_z)[0]
+        epe_n = (bench.epe_check(d, *scn_n)[0] if scn_n
+                 else float("nan"))
         print(f"{name:30s} epe shift={epe_t:.4f} zoom+rot={epe_z:.4f} "
               f"natural={epe_n:.4f}")
 

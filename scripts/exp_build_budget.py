@@ -52,7 +52,8 @@ def timed(run, args, c0, c1):
 
 def main():
     plan = _video_level_plan(CFG, DCFG,
-                             pyramid_base_geometry(H, W, CFG, DCFG))
+                             pyramid_base_geometry(H, W, CFG, DCFG),
+                             true_hw=(H, W))
     assert plan is not None
     rng = np.random.default_rng(3)
     f0 = jnp.asarray((rng.random((H, W)) * 255).astype(np.float32))

@@ -34,9 +34,11 @@ def main():
         d = dataclasses.replace(
             DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True),
             warp_local_schedule=sched)
-        e_t = bench.epe_check(d, *shift)
-        e_z = bench.epe_check(d, *zoom)
-        e_z2 = bench.epe_check(d, *zoom2)
+        # epe_check returns (vs_cv2_on_sane_pts, vs_ground_truth) when
+        # gt is given (r5 dual gate); sweep on the parity term
+        e_t = bench.epe_check(d, *shift)[0]
+        e_z = bench.epe_check(d, *zoom)[0]
+        e_z2 = bench.epe_check(d, *zoom2)[0]
         fps = bench.throughput(d)
         print(f"local={sched}: {fps:7.1f} fps  "
               f"epe shift={e_t:.4f} zoom={e_z:.4f} zoom1%={e_z2:.4f}",

@@ -178,3 +178,67 @@ def test_multistream_matches_per_stream_video(rng):
                                    np.asarray(single.flow), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(ms.valid[i]),
                                       np.asarray(single.valid))
+
+
+def test_base_prepad_only_when_plan_materializes():
+    """The pyramid base pre-pad is taken ONLY when the pad-free video plan
+    exists at the padded base (r5: a speculative 720->768-row pad fed
+    decimated replication into the coarse search and broke the natural
+    gate — see BENCH_NOTES round-5 accuracy wave)."""
+    from lk_tpu.config import DenseLKConfig
+    from lk_tpu.flow.dense import pyramid_base_geometry, _video_level_plan
+
+    cfg = LKConfig()
+    dcfg = DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True)
+    for h, w in [(720, 1280), (544, 960), (272, 480), (1080, 1920),
+                 (128, 1024), (860, 483)]:
+        base = pyramid_base_geometry(h, w, cfg, dcfg)
+        plan = _video_level_plan(cfg, dcfg, base)
+        if base != (h, w):
+            # any pad must come with a materialized plan
+            assert plan is not None, (h, w, base)
+    # the two known plan geometries keep their (thin) pads
+    assert pyramid_base_geometry(1080, 1920, cfg, dcfg) == (1088, 2048)
+    assert pyramid_base_geometry(720, 1280, cfg, dcfg) == (720, 1280)
+
+
+def test_effective_cfg_depth_clamped_by_window():
+    """cv2 caps maxLevel so the top level >= winSize; small frames must
+    not build a top level smaller than the LK window (ADVICE r4)."""
+    from lk_tpu.config import DenseLKConfig
+    from lk_tpu.flow.dense import _effective_cfg
+
+    cfg = LKConfig()  # win 15x15
+    dcfg = DenseLKConfig()  # pyramid_levels=4
+    assert _effective_cfg(cfg, dcfg, (1080, 1920)).max_level == 3
+    # 64 px: 64>>3=8 < 15 -> clamp to 2 levels of halving (16 >= 15)
+    assert _effective_cfg(cfg, dcfg, (64, 64)).max_level == 2
+    # tiny frame: no pyramid at all
+    assert _effective_cfg(cfg, dcfg, (20, 20)).max_level == 0
+
+
+def test_plan_depth_agrees_with_builders_near_clamp_threshold(rng):
+    """_video_level_plan must clamp depth by the TRUE frame dims like the
+    builders/solvers do: at 119 true rows (padded base 128) the old code
+    planned 4 levels while consumers clamped to 3 and silently solved a
+    mid-plan level as the top (r5 review finding)."""
+    import cv2 as cv
+
+    from lk_tpu.config import DenseLKConfig
+    from lk_tpu.flow import dense
+
+    cfg = LKConfig()
+    dcfg = DenseLKConfig(use_pallas_warp=True, pallas_pyramid=True)
+    for h, w in [(119, 1024), (115, 512), (113, 256)]:
+        base = dense.pyramid_base_geometry(h, w, cfg, dcfg)
+        plan = dense._video_level_plan(cfg, dcfg, base, true_hw=(h, w))
+        eff = dense._effective_cfg(cfg, dcfg, (h, w))
+        if plan is not None:
+            assert len(plan) == eff.max_level + 1, (h, w, len(plan))
+    # and the video entry runs end-to-end at such a geometry (CPU path)
+    h, w = 119, 256
+    img = cv.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0)
+    fr = np.stack([img, np.roll(img, 1, axis=1)])
+    out = dense.dense_pyramidal_lk_video(jnp.asarray(fr))
+    assert out.flow.shape == (1, h, w, 2)

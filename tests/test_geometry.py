@@ -292,3 +292,57 @@ def test_hough_adaptive_suppression_separates_close_lines(rng):
     want = np.sort(np.asarray(rhos, np.float32))
     assert np.asarray(res.votes).min() > 0, res.votes
     np.testing.assert_allclose(got_rho, want, atol=0.6 * r_bin)
+
+
+def test_hough_near_vertical_wrap_mirrors_rho(rng):
+    """Lines within half a theta bin of pi (near-vertical) fold to bin 0
+    with rho NEGATED — without the mirror both the vote fold and the
+    sub-bin refinement return the reflected line ~2|rho| away (r5 review
+    finding, verified end-to-end pre-fix: theta=-0.3 bin, rho=+100 came
+    back at rho=-99)."""
+    import math
+
+    from lk_tpu.geometry.hough import hough_road_lines
+
+    size = (640, 480)
+    n_theta = 180
+    t_bin = math.pi / n_theta
+    th = math.pi - 0.3 * t_bin      # ~179.7 deg == -0.3 bin
+    rh = 100.0
+    n = np.array([math.cos(th), math.sin(th)])
+    d = np.array([-math.sin(th), math.cos(th)])
+    starts, stops = [], []
+    for s in np.linspace(-180, 180, 30):
+        p0 = rh * n + s * d
+        starts.append(p0)
+        stops.append(p0 + 13.0 * d)
+    res = hough_road_lines(
+        jnp.asarray(np.asarray(starts, np.float32)),
+        jnp.asarray(np.asarray(stops, np.float32)),
+        jnp.ones(len(starts), bool), size, k=1)
+    tg, rg = float(res.theta[0]), float(res.rho[0])
+    # the returned (theta, rho) must name the SAME line: fold ours onto
+    # the ground truth's side for comparison
+    if abs(tg - th) > math.pi / 2:
+        tg, rg = tg + math.pi if tg < th else tg - math.pi, -rg
+    assert abs(tg - th) < 0.5 * t_bin, (tg, th)
+    assert abs(rg - rh) < 4.0, (rg, rh)   # well under the ~195px reflection
+
+
+def test_hough_rho_edge_peak_not_biased_outward():
+    """A peak at rho bin 0/n-1 has an edge-clamped profile (ym == y0);
+    the parabolic fit must return offset 0 there, not the degenerate
+    -0.5 that lands outside the grid (r5 review finding)."""
+    from lk_tpu.geometry.hough import hough_peaks
+
+    import math
+
+    n_theta, n_rho = 180, 64
+    acc = np.zeros((n_theta, n_rho), np.float32)
+    acc[90, 0] = 10.0               # spike exactly at the rho edge
+    acc[90, 1] = 4.0
+    res = hough_peaks(jnp.asarray(acc), k=1, image_size=(64, 48))
+    rho_max = math.hypot(64.0, 48.0)
+    # bin 0 maps to -rho_max exactly; the refined rho must not undershoot
+    assert float(res.rho[0]) >= -rho_max - 1e-4, (float(res.rho[0]),
+                                                  -rho_max)
