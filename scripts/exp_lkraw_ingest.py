@@ -151,6 +151,44 @@ def main():
         print(f"{name:26s} {fps:8.1f} f/s = {fps/30:6.1f} x 30fps "
               "1080p streams/core", flush=True)
 
+    # host scaling: N workers, each its own reader on the same gray file
+    # (the serving feed pattern: one reader thread per stream group).
+    # Meaningful only on multi-core hosts: on a 1-core box the workers
+    # contend on the GIL/core and the aggregate DROPS — report per-core
+    # numbers there and skip the sweep.
+    import threading
+
+    n_cores = os.cpu_count() or 1
+    if n_cores == 1:
+        print("host has 1 core: worker-scaling sweep skipped "
+              "(the per-core rows above ARE the host bound here)",
+              flush=True)
+    for n_workers in (2, 4, 8) if n_cores > 1 else ():
+        counts = [0] * n_workers
+
+        def worker(i):
+            rd = RawFrameReader(p_gray, ring=16)
+            while True:
+                chunk = rd.next_batch(8)
+                if chunk is None:
+                    break
+                for f in chunk:
+                    _pre(f[..., 0] if f.shape[-1] == 1 else f)
+                    counts[i] += 1
+            rd.close()
+
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(n_workers)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        dt = time.perf_counter() - t0
+        agg = sum(counts) / dt
+        print(f"lkraw-gray read+pre x{n_workers} workers: {agg:8.1f} f/s "
+              f"aggregate = {agg/30:6.1f} x 30fps streams", flush=True)
+
     for p in (p_gray, p_bgr, p_mjpg, p_staged):
         os.unlink(p)
     os.rmdir(tmp)
