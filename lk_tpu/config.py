@@ -178,6 +178,18 @@ class DenseLKConfig:
     # Default 4: same-process A/B @1080p r4 measured 1695/1708 -> 1856/1794
     # fps (chunk=6 noisier, no better), bit-identical numerics.
     video_chunk: int = 4
+    # MEASURED DEAD END (r5, kept as a tested option): prepadded-chain
+    # build without intermediate materializations — ONE combined edge pad
+    # and each coarser level decimated STRAIGHT into its unified-padded
+    # layout by offset band matmuls (ops/blur.pyr_down_padded), skipping
+    # the unpadded level intermediates and per-level jnp.pads.  The HBM
+    # bandwidth saved is real, but the decimation matmuls then contract
+    # over the PADDED axes on both sides (~49% more MACs at the 1080p L0
+    # (56,75,128,555) pads) and the A/B measured 7% SLOWER end-to-end
+    # (scripts/exp_padded_build.py: median 1674 vs 1827 fps, EPE terms
+    # identical to 4 decimals).  Values match the two-step build to f32
+    # accumulation-split rounding (~3e-5 intensity; NOT bit-equal).
+    padded_build: bool = False
     # Build the pyramid with the dual-plane Pallas kernel (pallas_kernels.
     # pallas_pyr_down_pair): both frames of a level decimated by ONE kernel
     # that reads the raw frames as fused row-pair views and does all

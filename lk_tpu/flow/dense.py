@@ -614,7 +614,17 @@ def build_frame_levels_prepadded(
     only the per-level pad into unified_pad_geometry is added here — and in
     exchange the level kernels pad NOTHING per call, where the per-call
     path re-pads every frame twice per level (as next in one scan step, as
-    prev in the following one)."""
+    prev in the following one).
+
+    With ``dense_cfg.padded_build`` the same layouts are produced with NO
+    intermediate materializations: one combined edge pad (base + unified
+    fused — edge-of-edge replication is a single edge pad) and offset
+    band-matmul decimation straight between padded layouts
+    (ops/blur.pyr_down_padded); values match to f32 rounding, see
+    config.py."""
+    if dense_cfg.padded_build:
+        return _build_levels_padded(frame[None], cfg, dense_cfg,
+                                    plan, batched=False)
     levels = build_frame_levels(frame, cfg, dense_cfg)
     assert len(levels) == len(plan)
     out = []
@@ -623,6 +633,50 @@ def build_frame_levels_prepadded(
         pt, pb, pl_, pr = p.pads
         out.append(jnp.pad(f, ((pt, pb), (pl_, pr)), mode="edge"))
     return tuple(out)
+
+
+def _build_levels_padded(
+    frames: jnp.ndarray,
+    cfg: LKConfig,
+    dense_cfg: DenseLKConfig,
+    plan: tuple,
+    batched: bool,
+) -> tuple:
+    """Unified-padded pyramid levels with zero intermediate
+    materializations (the padded_build path; frames: (N, H, W)).
+
+    Decimation runs per plane (not one batched 3-D matmul) so the chunk
+    build stays bit-identical to the per-frame build — the same rule the
+    two-step chunk path follows."""
+    from lk_tpu.ops.blur import pyr_down_padded
+
+    assert dense_cfg.fast_pyramid, (
+        "padded_build implements the fast (banded-matmul) decimation; "
+        "set fast_pyramid=True or padded_build=False")
+    h_true, w_true = frames.shape[-2:]
+    cfg = _effective_cfg(cfg, dense_cfg, (h_true, w_true))
+    p0 = plan[0]
+    pt, pb, pl_, pr = p0.pads
+    f = frames.astype(jnp.float32)
+    # combined base + unified pad: both are edge mode, so one pad with
+    # the summed amounts reproduces pad(pad(x, base), unified) exactly
+    f = jnp.pad(f, ((0, 0), (pt, pb + (p0.h - h_true)),
+                    (pl_, pr + (p0.w - w_true))), mode="edge")
+    stacks = [f]
+    for lv in range(len(plan) - 1):
+        pa, pnx = plan[lv], plan[lv + 1]
+        out_pad = (pnx.pads[0] + pnx.h + pnx.pads[1],
+                   pnx.pads[2] + pnx.w + pnx.pads[3])
+        cur = stacks[-1]
+        stacks.append(jnp.stack([
+            pyr_down_padded(cur[i], (pa.h, pa.w),
+                            (pa.pads[0], pa.pads[2]), out_pad,
+                            (pnx.pads[0], pnx.pads[2]))
+            for i in range(cur.shape[0])
+        ]))
+    if batched:
+        return tuple(stacks)
+    return tuple(s[0] for s in stacks)
 
 
 def dense_flow_from_levels_prepadded(
@@ -710,25 +764,30 @@ def dense_flow_chunk_prepadded(
 
     h_true, w_true = true_hw
     top = cfg.max_level
+    assert len(plan) == top + 1, (len(plan), top)
     kp1 = frames_chunk.shape[0]
-    f = frames_chunk.astype(jnp.float32)
-    hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
-    if (hp, wp) != (h_true, w_true):
-        f = jnp.pad(f, ((0, 0), (0, hp - h_true), (0, wp - w_true)),
-                    mode="edge")
-    level_stacks = [f]
-    for _ in range(top):
-        prev_stack = level_stacks[-1]
-        level_stacks.append(jnp.stack([
-            pyr_down(prev_stack[i], fast=dense_cfg.fast_pyramid)
-            for i in range(kp1)
-        ]))
-    padded = []
-    for stack, p in zip(level_stacks, plan):
-        assert stack.shape[1:] == (p.h, p.w), (stack.shape, p)
-        pt, pb, pl_, pr = p.pads
-        padded.append(jnp.pad(stack, ((0, 0), (pt, pb), (pl_, pr)),
-                              mode="edge"))
+    if dense_cfg.padded_build:
+        padded = _build_levels_padded(frames_chunk, cfg, dense_cfg, plan,
+                                      batched=True)
+    else:
+        f = frames_chunk.astype(jnp.float32)
+        hp, wp = pyramid_base_geometry(h_true, w_true, cfg, dense_cfg)
+        if (hp, wp) != (h_true, w_true):
+            f = jnp.pad(f, ((0, 0), (0, hp - h_true), (0, wp - w_true)),
+                        mode="edge")
+        level_stacks = [f]
+        for _ in range(top):
+            prev_stack = level_stacks[-1]
+            level_stacks.append(jnp.stack([
+                pyr_down(prev_stack[i], fast=dense_cfg.fast_pyramid)
+                for i in range(kp1)
+            ]))
+        padded = []
+        for stack, p in zip(level_stacks, plan):
+            assert stack.shape[1:] == (p.h, p.w), (stack.shape, p)
+            pt, pb, pl_, pr = p.pads
+            padded.append(jnp.pad(stack, ((0, 0), (pt, pb), (pl_, pr)),
+                                  mode="edge"))
 
     p = plan[top]
     run_top = make_fused_lk_level_grads_resident_batched(

@@ -242,3 +242,50 @@ def test_plan_depth_agrees_with_builders_near_clamp_threshold(rng):
     fr = np.stack([img, np.roll(img, 1, axis=1)])
     out = dense.dense_pyramidal_lk_video(jnp.asarray(fr))
     assert out.flow.shape == (1, h, w, 2)
+
+
+def test_padded_build_matches_two_step_build(rng):
+    """padded_build (combined pad + offset band-matmul decimation) must
+    reproduce the two-step prepadded build to f32 rounding at every
+    level, and the video flows through it must match the two-step chain
+    closely (the deviation class is accumulation-split rounding of the
+    same bf16-input matmul taps — ~3e-5 intensity)."""
+    import cv2 as cv
+    import dataclasses
+
+    from lk_tpu.config import DenseLKConfig
+    from lk_tpu.flow import dense
+
+    cfg = LKConfig(max_level=1)
+    d0 = DenseLKConfig(use_pallas_fused=True, iter_schedule=(1, 4),
+                       fused_coarse_chain=True, pyramid_levels=2,
+                       video_chunk=0)
+    dp = dataclasses.replace(d0, padded_build=True)
+    h, w = 128, 1024
+    plan = dense._video_level_plan(
+        cfg, d0, dense.pyramid_base_geometry(h, w, cfg, d0),
+        true_hw=(h, w))
+    assert plan is not None
+    img = cv.GaussianBlur(
+        (rng.random((h, w)) * 255).astype(np.float32), (0, 0), 2.0)
+    lv0 = dense.build_frame_levels_prepadded(jnp.asarray(img), cfg, d0,
+                                             plan)
+    lvp = dense.build_frame_levels_prepadded(jnp.asarray(img), cfg, dp,
+                                             plan)
+    assert len(lv0) == len(lvp)
+    for a, b in zip(lv0, lvp):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3)
+
+    # chunk build bit-identical to per-frame build within the flag
+    fr = np.stack([img, np.roll(img, 2, axis=1),
+                   np.roll(img, 4, axis=1)]).astype(np.float32)
+    ch = dense._build_levels_padded(jnp.asarray(fr), cfg, dp, plan,
+                                    batched=True)
+    for i, f in enumerate(fr):
+        per = dense.build_frame_levels_prepadded(jnp.asarray(f), cfg, dp,
+                                                 plan)
+        for lv, stack in zip(per, ch):
+            np.testing.assert_array_equal(np.asarray(stack[i]),
+                                          np.asarray(lv))
