@@ -1,12 +1,14 @@
-"""Benchmark: dense pyramidal LK at 1080p, frames/sec/chip (+ EPE check).
+"""Benchmark: dense pyramidal LK at 1080p, frames/sec/chip (+ EPE gates).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference's only measured number — 27 fps
 for its full pipeline on a desktop CPU (BASELINE.md; vps.png overlay).
 
-Accuracy gate: the reported throughput only counts if mean EPE vs OpenCV's
-calcOpticalFlowPyrLK stays under 0.1 px on the synthetic check (BASELINE.json
-north_star); otherwise the benchmark reports 0.
+Accuracy gate (r5 dual form, see epe_check): the reported throughput only
+counts if the WORST of six terms stays under 0.1 px — per-scene
+(translation / zoom+rotation / real-photograph) mean EPE vs OpenCV's
+calcOpticalFlowPyrLK on oracle-reliable points AND vs exact ground
+truth; otherwise the benchmark reports 0.
 """
 
 import json
