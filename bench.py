@@ -66,6 +66,24 @@ def _lk_cfg() -> LKConfig:
     return LKConfig(**LK_OVERRIDES) if LK_OVERRIDES else LKConfig()
 
 
+def default_chains() -> tuple[int, int]:
+    """Differential-timing chain lengths (C0, C1), honoring
+    LK_BENCH_CHAIN0/1 overrides.
+
+    Defaults: 12/36 at 1080p (both divisible by the production
+    video_chunk=4 and by 3/6/12 for chunk sweeps), scaled UP with
+    geometry so the run-length DIFFERENCE stays >> the multi-ms axon RTT
+    drift at sub-1080p sizes — at 270p the 1080p chains are ~1.3 ms of
+    device time and the slope measures tunnel noise (r5 curve
+    re-measure saw 17.7k vs 30.9k fps run-to-run; scaled chains agree
+    within 1.5%)."""
+    scale = max(1, (1080 * 1920) // (H * W))
+    c0_default = -(-12 * scale // 4) * 4
+    c0 = int(os.environ.get("LK_BENCH_CHAIN0", str(c0_default)))
+    c1 = int(os.environ.get("LK_BENCH_CHAIN1", str(3 * c0_default)))
+    return c0, c1
+
+
 def measure_tunnel_s() -> float:
     """Per-fetch round-trip via the axon tunnel, measured (a trivial jit +
     scalar fetch; ~24-33 ms depending on session).  Subtracting a stale
@@ -253,16 +271,7 @@ def throughput(dcfg: "DenseLKConfig") -> float:
     # the RTT drift that skewed fixed-constant subtraction by up to ±10%
     # (measured round 2: the constant moves several ms within one process).
     # min-of-reps: RTT noise is one-sided (positive outliers only).
-    # 12/36 (not 10/40): both divisible by the production video_chunk=4
-    # (and by 3/6/12 for chunk sweeps); the slope statistic is unchanged.
-    # Default chains scale with geometry so the run-length DIFFERENCE
-    # stays >> the multi-ms RTT drift at sub-1080p sizes (at 270p the
-    # 1080p chains are ~1.3 ms of device time and the slope measures
-    # tunnel noise — r5 curve re-measure saw 17.7k vs 30.9k run-to-run)
-    scale = max(1, (1080 * 1920) // (H * W))
-    c0_default = -(-12 * scale // 4) * 4
-    c0 = int(os.environ.get("LK_BENCH_CHAIN0", str(c0_default)))
-    c1 = int(os.environ.get("LK_BENCH_CHAIN1", str(3 * c0_default)))
+    c0, c1 = default_chains()
 
     def chained(n):
         if VIDEO:

@@ -655,6 +655,7 @@ def _build_levels_padded(
         "set fast_pyramid=True or padded_build=False")
     h_true, w_true = frames.shape[-2:]
     cfg = _effective_cfg(cfg, dense_cfg, (h_true, w_true))
+    assert len(plan) == cfg.max_level + 1, (len(plan), cfg.max_level)
     p0 = plan[0]
     pt, pb, pl_, pr = p0.pads
     f = frames.astype(jnp.float32)

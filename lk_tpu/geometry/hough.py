@@ -137,14 +137,14 @@ def _axis_profile_rho(acc, t, r, n_rho):
 
 def _parabolic_offset(prof):
     """Sub-bin offset of the apex from a 3-tap parabola at the profile
-    center; 0 when the neighborhood is degenerate — flat, not a strict
-    interior max, or an edge-clamped repeat (a clamped rho profile makes
-    ym == y0 exactly, where the raw formula degenerates to ±0.5 and
-    biases edge-bin peaks half a bin OUTWARD)."""
+    center; 0 on a flat neighborhood.  An INTERIOR neighbor tie is real
+    data (a rho exactly midway between bins splits its bilinear vote
+    50/50, y0 == neighbor, apex exactly ±0.5 — the formula handles it);
+    edge-CLAMPED repeats are not data and are zeroed by the caller."""
     c = _PROF_R
     ym, y0, yp = prof[c - 1], prof[c], prof[c + 1]
     denom = ym - 2.0 * y0 + yp
-    ok = (jnp.abs(denom) > 1e-12) & (ym != y0) & (yp != y0)
+    ok = jnp.abs(denom) > 1e-12
     safe = jnp.where(ok, denom, 1.0)
     off = jnp.where(ok, 0.5 * (ym - yp) / safe, 0.0)
     return jnp.clip(off, -0.5, 0.5)
@@ -222,17 +222,23 @@ def hough_peaks(
         win = (dt[:, None] <= sup_t) & jnp.where(
             crossed[:, None], rho_mirr, rho_near)
         t_sub = t.astype(jnp.float32) + _parabolic_offset(prof_t)
-        r_sub = r.astype(jnp.float32) + _parabolic_offset(prof_r)
+        # rho-EDGE peaks have clamped (repeated, non-data) neighbors on
+        # one side, where the raw fit degenerates to exactly +-0.5 and
+        # biases the peak half a bin outside the grid: zero it there
+        # (theta has no edges — it wraps)
+        r_off = jnp.where((r == 0) | (r == n_rho - 1), 0.0,
+                          _parabolic_offset(prof_r))
+        r_sub = r.astype(jnp.float32) + r_off
         return jnp.where(win, -jnp.inf, grid), (t_sub, r_sub, val)
 
     _, (ts, rs, vals) = jax.lax.scan(body, acc, None, length=k)
     theta = jnp.mod(ts, float(n_theta)) * (jnp.pi / n_theta)
     rho = rs / (n_rho - 1) * (2.0 * rho_max) - rho_max
     # a refined theta that wrapped across 0/pi names the same line at
-    # NEGATED rho ((pi-eps, rho) == (0-eps -> pi-eps, -rho)); without the
-    # flip the returned line is reflected about the origin (~2|rho| off)
-    wrapped = (ts < 0.0) | (ts >= float(n_theta))
-    rho = jnp.where(wrapped, -rho, rho)
+    # NEGATED rho ((0-eps == pi-eps, -rho)); without the flip the
+    # returned line is reflected about the origin (~2|rho| off).  Only
+    # the negative side can occur: t <= n_theta-1 and |offset| <= 0.5
+    rho = jnp.where(ts < 0.0, -rho, rho)
     return HoughResult(accumulator=acc, theta=theta, rho=rho, votes=vals)
 
 

@@ -30,7 +30,8 @@ def main():
     for name, d in variants.items():
         e_t = bench.epe_check(d, st[0], st[1], gt=st[2])
         e_z = bench.epe_check(d, sz[0], sz[1], gt=sz[2])
-        e_n = bench.epe_check(d, nat[0], nat[1], gt=nat[2])
+        e_n = (bench.epe_check(d, nat[0], nat[1], gt=nat[2])
+               if nat else (float("nan"), float("nan")))
         print(f"{name:14s} epe shift={e_t[0]:.4f}|{e_t[1]:.4f}"
               f" zoom={e_z[0]:.4f}|{e_z[1]:.4f}"
               f" natural={e_n[0]:.4f}|{e_n[1]:.4f}", flush=True)

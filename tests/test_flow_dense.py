@@ -193,7 +193,9 @@ def test_base_prepad_only_when_plan_materializes():
     for h, w in [(720, 1280), (544, 960), (272, 480), (1080, 1920),
                  (128, 1024), (860, 483)]:
         base = pyramid_base_geometry(h, w, cfg, dcfg)
-        plan = _video_level_plan(cfg, dcfg, base)
+        # the SAME plan call pyramid_base_geometry gates on (true_hw
+        # included — the depth clamps must agree near the threshold)
+        plan = _video_level_plan(cfg, dcfg, base, true_hw=(h, w))
         if base != (h, w):
             # any pad must come with a materialized plan
             assert plan is not None, (h, w, base)

@@ -346,3 +346,22 @@ def test_hough_rho_edge_peak_not_biased_outward():
     # bin 0 maps to -rho_max exactly; the refined rho must not undershoot
     assert float(res.rho[0]) >= -rho_max - 1e-4, (float(res.rho[0]),
                                                   -rho_max)
+
+
+def test_hough_interior_two_bin_tie_refines_to_midpoint():
+    """A rho exactly midway between bins splits its bilinear vote 50/50;
+    the parabolic fit must return the +-0.5 midpoint apex (an interior
+    tie is real data — only edge-CLAMPED repeats are zeroed)."""
+    import math
+
+    from lk_tpu.geometry.hough import hough_peaks
+
+    n_theta, n_rho = 180, 64
+    acc = np.zeros((n_theta, n_rho), np.float32)
+    acc[90, 30] = 5.0
+    acc[90, 31] = 5.0     # 50/50 bilinear split: true rho at bin 30.5
+    res = hough_peaks(jnp.asarray(acc), k=1, image_size=(64, 48))
+    rho_max = math.hypot(64.0, 48.0)
+    want = 30.5 / (n_rho - 1) * 2.0 * rho_max - rho_max
+    assert abs(float(res.rho[0]) - want) < 0.05 * (2 * rho_max / n_rho), (
+        float(res.rho[0]), want)
